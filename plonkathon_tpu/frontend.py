@@ -1,0 +1,282 @@
+"""Circuit frontend: the zkrepl-style constraint DSL and PLONK preprocessing.
+
+Host-side compiler (circuits are compiled once; proving is the hot path).
+Produces device-backed selector and permutation polynomials consumed by the
+TPU prover.
+
+Language semantics — equation forms `out <== expr`, `out === expr`,
+`var public`; {+,-,*} with multiplicative degree <= 2 and at most two distinct
+variables per constraint — match the reference compiler exactly
+(compiler/assembly.py:122-166, compiler/program.py:33-192), including the
+permutation-cycle encoding with column labels omega^row * {1,2,3}, pinned by
+the snarkjs golden vkey fixtures (k1=2, k2=3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .fields import Fr
+from .poly import Polynomial, Basis
+
+# Wire columns; the integer value doubles as the permutation coset tag
+# (k1 = 2, k2 = 3 in the snarkjs vkeys).
+COL_LEFT, COL_RIGHT, COL_OUTPUT = 1, 2, 3
+_COLUMNS = (COL_LEFT, COL_RIGHT, COL_OUTPUT)
+
+
+def product_key(a: Optional[str], b: Optional[str]) -> str:
+    """Canonical dict key for the product term a*b."""
+    parts = sorted((a or "").split("*") + (b or "").split("*"))
+    return "*".join(x for x in parts if x)
+
+
+def is_valid_variable_name(name: str) -> bool:
+    return len(name) > 0 and name.isalnum() and name[0] not in "0123456789"
+
+
+def _combine_linear(lhs: dict, rhs: dict) -> dict:
+    keys = set(lhs) | set(rhs)
+    return {k: lhs.get(k, 0) + rhs.get(k, 0) for k in keys}
+
+
+def parse_expression(tokens: list[str], negate_first: bool = False) -> dict:
+    """Token list over {+,-,*} -> {term: coefficient} map.
+
+    Splits on +/- before * (order of operations); `negate_first` tracks sign
+    propagation through chained subtractions, e.g. 6000 - 700 - 80 + 9.
+    """
+    if "+" in tokens:
+        cut = tokens.index("+")
+        return _combine_linear(
+            parse_expression(tokens[:cut], negate_first),
+            parse_expression(tokens[cut + 1 :], False),
+        )
+    if "-" in tokens:
+        cut = tokens.index("-")
+        return _combine_linear(
+            parse_expression(tokens[:cut], negate_first),
+            parse_expression(tokens[cut + 1 :], True),
+        )
+    if "*" in tokens:
+        cut = tokens.index("*")
+        lhs = parse_expression(tokens[:cut], negate_first)
+        rhs = parse_expression(tokens[cut + 1 :], negate_first)
+        return {
+            product_key(kl, kr): cl * cr
+            for kl, cl in lhs.items()
+            for kr, cr in rhs.items()
+        }
+    if len(tokens) != 1:
+        raise ValueError(f"expected a single unit, got: {tokens}")
+    tok = tokens[0]
+    if tok.startswith("-"):
+        return parse_expression([tok[1:]], not negate_first)
+    if tok.isnumeric():
+        return {"": int(tok) * (-1 if negate_first else 1)}
+    if is_valid_variable_name(tok):
+        return {tok: -1 if negate_first else 1}
+    raise ValueError(f"unparseable token: {tok!r}")
+
+
+@dataclass
+class Wires:
+    """Variable names on the Left/Right/Output wires of one gate row."""
+
+    L: Optional[str]
+    R: Optional[str]
+    O: Optional[str]
+
+    def as_list(self) -> list[Optional[str]]:
+        return [self.L, self.R, self.O]
+
+
+@dataclass
+class Constraint:
+    """One compiled gate row: wire names + {term: coefficient} map."""
+
+    wires: Wires
+    coeffs: dict
+
+    def selectors(self) -> tuple[Fr, Fr, Fr, Fr, Fr]:
+        """(qL, qR, qM, qO, qC) for this row."""
+        w, c = self.wires, self.coeffs
+        ql = Fr(-c.get(w.L, 0))
+        qr = Fr(-c.get(w.R, 0)) if w.R != w.L else Fr(0)
+        qm = (
+            Fr(-c.get(product_key(w.L, w.R), 0))
+            if None not in self.wires.as_list()
+            else Fr(0)
+        )
+        qo = Fr(c.get("$output_coeff", 1))
+        qc = Fr(-c.get("", 0))
+        return ql, qr, qm, qo, qc
+
+
+def parse_constraint(line: str) -> Constraint:
+    """One source line -> Constraint (reference compiler/assembly.py:122-166)."""
+    tokens = line.rstrip("\n").split(" ")
+    if len(tokens) > 1 and tokens[1] in ("<==", "==="):
+        out = tokens[0]
+        coeffs = parse_expression(tokens[2:])
+        if out.startswith("-"):
+            out = out[1:]
+            coeffs["$output_coeff"] = -1
+        if not is_valid_variable_name(out):
+            raise ValueError(f"invalid output variable: {out}")
+        variables: list[str] = []
+        for t in tokens[2:]:
+            name = t.lstrip("-")
+            if is_valid_variable_name(name) and name not in variables:
+                variables.append(name)
+        allowed = set(variables) | {"", "$output_coeff"}
+        if len(variables) == 1:
+            variables.append(variables[0])
+            allowed.add(product_key(variables[0], variables[0]))
+        elif len(variables) == 2:
+            allowed.add(product_key(*variables))
+        elif len(variables) > 2:
+            raise ValueError(f"at most 2 variables per constraint, got {variables}")
+        for key in coeffs:
+            if key not in allowed:
+                raise ValueError(f"disallowed term: {key}")
+        padded = variables + [None] * (2 - len(variables))
+        return Constraint(Wires(padded[0], padded[1], out), coeffs)
+    if len(tokens) > 1 and tokens[1] == "public":
+        return Constraint(
+            Wires(tokens[0], None, None),
+            {tokens[0]: -1, "$output_coeff": 0, "$public": True},
+        )
+    raise ValueError(f"unsupported statement: {line!r}")
+
+
+@dataclass
+class CommonPreprocessedInput:
+    """Selector + permutation polynomials (reference compiler/program.py:10-30)."""
+
+    group_order: int
+    QM: Polynomial
+    QL: Polynomial
+    QR: Polynomial
+    QO: Polynomial
+    QC: Polynomial
+    S1: Polynomial
+    S2: Polynomial
+    S3: Polynomial
+
+
+class Program:
+    """A compiled constraint system over a power-of-two evaluation domain."""
+
+    def __init__(self, constraints: list[str], group_order: int):
+        if len(constraints) > group_order:
+            raise ValueError("group order too small for constraint count")
+        self.group_order = group_order
+        self.constraints = [parse_constraint(line) for line in constraints]
+
+    @classmethod
+    def from_str(cls, source: str, group_order: int) -> "Program":
+        return cls([line.strip() for line in source.split("\n")], group_order)
+
+    def wires(self) -> list[Wires]:
+        return [c.wires for c in self.constraints]
+
+    def coeffs(self) -> list[dict]:
+        return [c.coeffs for c in self.constraints]
+
+    # -- public inputs ----------------------------------------------------
+    def get_public_assignments(self) -> list[Optional[str]]:
+        """Ordered public variable names; declarations must lead the program
+        (reference compiler/program.py:116-130)."""
+        out = []
+        closed = False
+        for c in self.constraints:
+            if c.coeffs.get("$public", False) is True:
+                if closed:
+                    raise ValueError("public declarations must come first")
+                names = [k for k in c.coeffs if "$" not in str(k)]
+                var = names[0]
+                if c.coeffs != {"$public": True, "$output_coeff": 0, var: -1}:
+                    raise ValueError(f"malformed public declaration: {c.coeffs}")
+                out.append(var)
+            else:
+                closed = True
+        return out
+
+    # -- preprocessing ----------------------------------------------------
+    def make_gate_polynomials(self):
+        """(QL, QR, QM, QO, QC) Lagrange polys (reference compiler/program.py:134-155)."""
+        n = self.group_order
+        rows = {name: [Fr(0)] * n for name in "LRMOC"}
+        for i, c in enumerate(self.constraints):
+            ql, qr, qm, qo, qc = c.selectors()
+            rows["L"][i], rows["R"][i], rows["M"][i] = ql, qr, qm
+            rows["O"][i], rows["C"][i] = qo, qc
+        return tuple(
+            Polynomial(rows[name], Basis.LAGRANGE) for name in "LRMOC"
+        )
+
+    def make_s_polynomials(self):
+        """Permutation polynomials S1, S2, S3 via copy-constraint cycles.
+
+        Each variable's use sites ((row, column) cells, ordered) are rotated
+        by one; a cell is encoded as omega^row * column_tag.  Unused cells
+        beyond the constraint list join the `None` cycle.  (Reference
+        compiler/program.py:70-113.)
+        """
+        n = self.group_order
+        uses: dict[Optional[str], set] = {None: set()}
+        for row, c in enumerate(self.constraints):
+            for col, name in zip(_COLUMNS, c.wires.as_list()):
+                uses.setdefault(name, set()).add((row, col))
+        for row in range(len(self.constraints), n):
+            for col in _COLUMNS:
+                uses[None].add((row, col))
+
+        roots = Fr.roots_of_unity(n)
+        s_vals = {col: [Fr(0)] * n for col in _COLUMNS}
+        for sites in uses.values():
+            ordered = sorted(sites)
+            for i, (row, col) in enumerate(ordered):
+                next_row, next_col = ordered[(i + 1) % len(ordered)]
+                s_vals[next_col][next_row] = roots[row] * col
+        return (
+            Polynomial(s_vals[COL_LEFT], Basis.LAGRANGE),
+            Polynomial(s_vals[COL_RIGHT], Basis.LAGRANGE),
+            Polynomial(s_vals[COL_OUTPUT], Basis.LAGRANGE),
+        )
+
+    def common_preprocessed_input(self) -> CommonPreprocessedInput:
+        ql, qr, qm, qo, qc = self.make_gate_polynomials()
+        s1, s2, s3 = self.make_s_polynomials()
+        return CommonPreprocessedInput(
+            self.group_order, qm, ql, qr, qo, qc, s1, s2, s3
+        )
+
+    # -- witness generation ----------------------------------------------
+    def fill_variable_assignments(self, starting: dict) -> dict:
+        """Forward-execute rows to complete the witness; raises on
+        contradictions (reference compiler/program.py:161-192)."""
+        out = {k: Fr(v) for k, v in starting.items()}
+        out[None] = Fr(0)
+        for c in self.constraints:
+            w, coeffs = c.wires, c.coeffs
+            out_coeff = coeffs.get("$output_coeff", 1)
+            if w.O is None or out_coeff not in (-1, 1):
+                continue
+            pk = product_key(w.L, w.R)
+            value = (
+                Fr(coeffs.get("", 0))
+                + out[w.L] * coeffs.get(w.L, 0)
+                + out[w.R] * coeffs.get(w.R, 0) * (1 if w.R != w.L else 0)
+                + out[w.L] * out[w.R] * coeffs.get(pk, 0)
+            ) * out_coeff
+            if w.O in out:
+                if out[w.O] != value:
+                    raise ValueError(
+                        f"constraint violated: {w.O} = {out[w.O]} vs {value}"
+                    )
+            else:
+                out[w.O] = value
+        return {k: v.n for k, v in out.items()}

@@ -1,0 +1,102 @@
+"""KZG trusted setup: snarkjs .ptau ingestion, commitments, verification keys.
+
+Parses the Powers-of-Tau ceremony format used by snarkjs "prepare phase 2"
+files, with the same recovery tricks as the reference loader (setup.py:23-63):
+the log2 power count lives at byte 60, G1 points start at byte 80 as 32-byte
+little-endian coordinate pairs scaled by a common factor recovered from the
+known generator, and the G2 block is located by scanning for the scaled G2
+generator x-coordinate.
+
+Commitments run on the TPU MSM engine (ops/curve.py); the SRS window tables
+are precomputed once per setup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .fields import Fq, Fq2, Fr, FQ_MOD
+from .ec import G1, G2, B2, is_on_curve
+from .ops.curve import FixedBaseMSM
+from .poly import Polynomial, Basis
+from . import verifier as _verifier
+
+_POWERS_BYTE = 60
+_G1_START = 80
+
+
+@dataclass
+class Setup:
+    powers_of_x: list  # [G, xG, x^2 G, ...] host affine points
+    X2: tuple          # [x]_2 in G2
+
+    def __post_init__(self):
+        self._msm = None
+
+    @property
+    def msm_engine(self) -> FixedBaseMSM:
+        if self._msm is None:
+            self._msm = FixedBaseMSM(self.powers_of_x)
+        return self._msm
+
+    @classmethod
+    def from_file(cls, filename: str) -> "Setup":
+        contents = open(filename, "rb").read()
+        powers = 2 ** contents[_POWERS_BYTE]
+        coords = [
+            int.from_bytes(contents[i : i + 32], "little")
+            for i in range(_G1_START, _G1_START + 32 * powers * 2, 32)
+        ]
+        assert max(coords) < FQ_MOD
+        # All encoded coordinates carry a common Montgomery-style factor;
+        # recover it from the known generator (first point).
+        factor = Fq(coords[0]) / G1[0]
+        inv_factor = factor.inv()
+        points = [
+            (Fq(coords[2 * i] * inv_factor.n), Fq(coords[2 * i + 1] * inv_factor.n))
+            for i in range(powers)
+        ]
+        # Locate the G2 block by scanning for the scaled G2 generator.
+        pos = _G1_START + 32 * powers * 2
+        target = (factor * G2[0].coeffs[0]).n
+        while pos < len(contents):
+            if int.from_bytes(contents[pos : pos + 32], "little") == target:
+                break
+            pos += 1
+        enc = contents[pos + 32 * 4 : pos + 32 * 8]
+        vals = [
+            (Fq(int.from_bytes(enc[i : i + 32], "little")) * inv_factor).n
+            for i in range(0, 128, 32)
+        ]
+        x2 = (Fq2(vals[:2]), Fq2(vals[2:]))
+        assert is_on_curve(x2, B2)
+        return cls(points, x2)
+
+    # -- commitments ------------------------------------------------------
+    def commit(self, poly: Polynomial):
+        """KZG commitment [p(x)]_1 (reference setup.py:66-72 semantics).
+
+        Accepts Lagrange values (iNTT'd on device) or monomial coefficients.
+        """
+        if poly.basis == Basis.LAGRANGE:
+            poly = poly.ifft()
+        assert len(poly) <= len(self.powers_of_x), "polynomial exceeds SRS"
+        return self.msm_engine.commit_mont(poly.values)
+
+    # -- verification key -------------------------------------------------
+    def verification_key(self, pk) -> "_verifier.VerificationKey":
+        """Commit to the preprocessed polynomials (reference setup.py:75-77,
+        verifier.py:9-34, README protocol spec)."""
+        return _verifier.VerificationKey(
+            group_order=pk.group_order,
+            Qm=self.commit(pk.QM),
+            Ql=self.commit(pk.QL),
+            Qr=self.commit(pk.QR),
+            Qo=self.commit(pk.QO),
+            Qc=self.commit(pk.QC),
+            S1=self.commit(pk.S1),
+            S2=self.commit(pk.S2),
+            S3=self.commit(pk.S3),
+            X_2=self.X2,
+            w=Fr.root_of_unity(pk.group_order),
+        )

@@ -7,13 +7,16 @@ bignums, e.g. curve.py:10-24):
 * Layout is **limb-major**: arrays are `uint32[16, *batch]`, so the batch
   dimension lands on TPU vector lanes and every limb op is a full-width
   VPU instruction.  A "scalar" is `uint32[16]`.
-* Multiplication keeps products in 32-bit lanes by splitting each 16x16
-  partial product into lo/hi halves; column accumulations stay < 2^21, far
-  from overflow.
-* Hot-path values live in Montgomery form (R = 2^256); `mul` is a Montgomery
-  product computed as full-product + low-product-by-N' + final add/shift.
+* Hot-path values live in Montgomery form (R = 2^256) in the **lazy domain
+  [0, 2p)**: `mul` is a Montgomery product whose output stays < 2p without a
+  final conditional subtraction; predicates canonicalize internally.
+* Schoolbook partial products are split lo/hi so column sums stay < 2^22 in
+  32-bit lanes; columns are collected with a single static gather+reduce
+  (no per-limb scatter chain), and carries/borrows propagate in log-depth
+  via Kogge-Stone generate/propagate prefixes.  This keeps traced graphs
+  ~150 HLO ops per field-mul — compile-time and runtime critical.
 * Inversions use Fermat exponentiation driven by `lax.scan` over the
-  (static) exponent bits, so traces stay small.
+  (static) exponent bits.
 
 All functions are pure and jittable; they run identically on CPU (tests) and
 TPU (bench).
@@ -64,6 +67,34 @@ def decode_ints(arr) -> list[int]:
     ]
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_indices(ncols: int):
+    """Static index maps for diagonal (column) sums of partial products.
+
+    For products a_i * b_j: the lo half lands in column i+j, the hi half in
+    column i+j+1.  We pad the j axis to 2*NLIMBS+1 with a zero column at
+    index 2*NLIMBS and gather j = col - i (or col - i - 1), clamped onto the
+    zero column when out of range.
+    """
+    pad = 2 * NLIMBS  # index of the guaranteed-zero column
+    lo = np.full((NLIMBS, ncols), pad, dtype=np.int32)
+    hi = np.full((NLIMBS, ncols), pad, dtype=np.int32)
+    for i in range(NLIMBS):
+        for k in range(ncols):
+            j = k - i
+            if 0 <= j < NLIMBS:
+                lo[i, k] = j
+            j = k - i - 1
+            if 0 <= j < NLIMBS:
+                hi[i, k] = j
+    return lo, hi
+
+
+def _shift_up(x, s: int):
+    """Shift limb values toward higher indices by s (zeros enter at bottom)."""
+    return jnp.concatenate([jnp.zeros_like(x[:s]), x[:-s]], axis=0)
+
+
 class FieldOps:
     """Modular arithmetic over a fixed prime, on limb-major uint32 arrays."""
 
@@ -72,6 +103,7 @@ class FieldOps:
         self.modulus = modulus
         r = 1 << R_BITS
         self.P = encode_int(modulus)
+        self.P2 = encode_int(2 * modulus)
         self.NPRIME = encode_int((-pow(modulus, -1, r)) % r)  # -p^-1 mod 2^256
         self.r_mod_p = r % modulus
         self.R2 = encode_int(pow(r, 2, modulus))
@@ -100,46 +132,65 @@ class FieldOps:
         p = self.modulus
         return [v * rinv % p for v in decode_ints(arr)]
 
-    # -- carry / borrow chains -------------------------------------------
+    # -- carry / borrow machinery (log-depth) ----------------------------
     @staticmethod
-    def _carry(cols):
-        """Propagate carries over the leading axis; values must stay < 2^31."""
-        n = cols.shape[0]
-        out = []
-        c = jnp.zeros(cols.shape[1:], dtype=jnp.uint32)
-        for k in range(n):
-            v = cols[k] + c
-            out.append(v & LIMB_MASK)
-            c = v >> LIMB_BITS
-        return jnp.stack(out), c
+    def _carry_norm(cols):
+        """Columns (< 2^22 each) -> canonical 16-bit limbs, mod 2^(16*K).
 
-    def _sub_borrow(self, a, b):
-        """a - b limbwise with borrow chain; returns (diff, borrow_flag)."""
-        out = []
-        br = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=jnp.uint32)
-        for k in range(NLIMBS):
-            t = b[k] + br
-            bk = (a[k] < t).astype(jnp.uint32)
-            out.append((a[k] - t) & LIMB_MASK)
-            br = bk
-        return jnp.stack(out), br
+        One deferred-carry fold, then a Kogge-Stone generate/propagate
+        prefix resolves the remaining single-bit ripple.
+        """
+        k = cols.shape[0]
+        s = cols & LIMB_MASK
+        c = cols >> LIMB_BITS
+        u = s + _shift_up(c, 1)  # < 2^16 + 2^6
+        g = u >> LIMB_BITS != 0
+        p = (u & LIMB_MASK) == LIMB_MASK
+        step = 1
+        while step < k:
+            g = jnp.logical_or(g, jnp.logical_and(p, _shift_up(g, step)))
+            p = jnp.logical_and(p, _shift_up(p, step))
+            step *= 2
+        carry_in = _shift_up(g, 1).astype(jnp.uint32)
+        return (u + carry_in) & LIMB_MASK
 
-    def _cond_sub_p(self, s):
-        """Reduce s in [0, 2p) to canonical [0, p)."""
-        p = jnp.asarray(self.P)[(...,) + (None,) * (s.ndim - 1)]
-        d, borrow = self._sub_borrow(s, p)
-        return jnp.where((borrow != 0)[None], s, d)
+    @staticmethod
+    def _sub_limbs(a, b):
+        """(a - b) mod 2^(16*K) with borrow flag; canonical 16-bit inputs."""
+        k = a.shape[0]
+        g = a < b
+        p = a == b
+        gg, pp = g, p
+        step = 1
+        while step < k:
+            gg = jnp.logical_or(gg, jnp.logical_and(pp, _shift_up(gg, step)))
+            pp = jnp.logical_and(pp, _shift_up(pp, step))
+            step *= 2
+        borrow_in = _shift_up(gg, 1).astype(jnp.uint32)
+        res = (a - b - borrow_in) & LIMB_MASK
+        return res, gg[-1]
 
-    # -- add / sub --------------------------------------------------------
+    def _cond_sub(self, s, mod_limbs):
+        """Subtract `mod_limbs` once if s >= mod_limbs."""
+        m = jnp.asarray(mod_limbs)[(...,) + (None,) * (s.ndim - 1)]
+        d, borrow = self._sub_limbs(s, jnp.broadcast_to(m, s.shape).astype(jnp.uint32))
+        return jnp.where(borrow[None], s, d)
+
+    def canon(self, a):
+        """Lazy [0, 2p) -> canonical [0, p)."""
+        return self._cond_sub(a, self.P)
+
+    # -- add / sub (lazy domain [0, 2p)) ----------------------------------
     def add(self, a, b):
-        s, _ = self._carry(a + b)
-        return self._cond_sub_p(s)
+        s = self._carry_norm(a + b)
+        return self._cond_sub(s, self.P2)
 
     def sub(self, a, b):
-        d, br = self._sub_borrow(a, b)
-        p = jnp.asarray(self.P)[(...,) + (None,) * (d.ndim - 1)]
-        dp, _ = self._carry(d + p)
-        return jnp.where((br != 0)[None], dp, d)
+        a, b = jnp.broadcast_arrays(a, b)
+        d, borrow = self._sub_limbs(a, b)
+        p2 = jnp.asarray(self.P2)[(...,) + (None,) * (d.ndim - 1)]
+        addback = jnp.where(borrow[None], p2, 0).astype(jnp.uint32)
+        return self._carry_norm(d + addback)
 
     def neg(self, a):
         return self.sub(jnp.zeros_like(a), a)
@@ -149,45 +200,34 @@ class FieldOps:
     def _mul_columns(a, b, ncols):
         """Raw column sums of the product (no carries), length `ncols`.
 
-        a: [16, *A], b: [16, *B] broadcastable; columns < 2^21.
+        a: [16, *A], b: [16, *B] broadcastable; columns < 2^22.  One
+        broadcast outer product + two static gathers + two reductions.
         """
-        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        cols = [jnp.zeros(shape, dtype=jnp.uint32) for _ in range(ncols)]
-        for i in range(NLIMBS):
-            ai = a[i]
-            jmax = min(NLIMBS, ncols - i)
-            if jmax <= 0:
-                break
-            for j in range(jmax):
-                p = ai * b[j]
-                cols[i + j] = cols[i + j] + (p & LIMB_MASK)
-                if i + j + 1 < ncols:
-                    cols[i + j + 1] = cols[i + j + 1] + (p >> LIMB_BITS)
-        return jnp.stack(cols)
-
-    def _mul_wide(self, a, b):
-        """Full 512-bit product, canonical 32 limbs."""
-        cols = self._mul_columns(a, b, 2 * NLIMBS)
-        limbs, _ = self._carry(cols)
-        return limbs
-
-    def _mul_low(self, a, b):
-        """(a*b) mod 2^256, canonical 16 limbs."""
-        cols = self._mul_columns(a, b, NLIMBS)
-        limbs, _ = self._carry(cols)
-        return limbs
+        pp = a[:, None] * b[None, :]  # [16, 16, *batch]
+        lo = pp & LIMB_MASK
+        hi = pp >> LIMB_BITS
+        batch = pp.shape[2:]
+        pad_cfg = [(0, 0), (0, NLIMBS + 1)] + [(0, 0)] * len(batch)
+        lo_p = jnp.pad(lo, pad_cfg)
+        hi_p = jnp.pad(hi, pad_cfg)
+        ilo, ihi = _gather_indices(ncols)
+        ilo = jnp.asarray(ilo).reshape((NLIMBS, ncols) + (1,) * len(batch))
+        ihi = jnp.asarray(ihi).reshape((NLIMBS, ncols) + (1,) * len(batch))
+        cols = jnp.take_along_axis(lo_p, ilo, axis=1).sum(axis=0) + jnp.take_along_axis(
+            hi_p, ihi, axis=1
+        ).sum(axis=0)
+        return cols
 
     def mul(self, a, b):
-        """Montgomery product: a*b*R^-1 mod p (canonical, < p)."""
-        np_ = jnp.asarray(self.NPRIME).reshape((NLIMBS,) + (1,) * 0)
-        p_ = jnp.asarray(self.P)
-        t = self._mul_wide(a, b)  # [32, *]
-        np_b = np_[(...,) + (None,) * (t.ndim - 1)]
-        m = self._mul_low(t[:NLIMBS], np_b)
-        p_b = p_[(...,) + (None,) * (m.ndim - 1)]
-        mp = self._mul_wide(m, p_b)  # [32, *]
-        total, _ = self._carry(t + mp)
-        return self._cond_sub_p(total[NLIMBS:])
+        """Montgomery product a*b*R^-1 mod p; lazy in/out domain [0, 2p)."""
+        tcols = self._mul_columns(a, b, 2 * NLIMBS)  # [32, *]
+        tlo = self._carry_norm(tcols[:NLIMBS])
+        np_ = jnp.asarray(self.NPRIME)[(...,) + (None,) * (tlo.ndim - 1)]
+        m = self._carry_norm(self._mul_columns(tlo, np_, NLIMBS))
+        p_ = jnp.asarray(self.P)[(...,) + (None,) * (m.ndim - 1)]
+        mpcols = self._mul_columns(m, p_, 2 * NLIMBS)
+        total = self._carry_norm(tcols + mpcols)  # low half == 0 by design
+        return total[NLIMBS:]
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -198,8 +238,9 @@ class FieldOps:
         return self.mul(a, r2)
 
     def from_mont(self, a):
+        """Montgomery -> canonical integer limbs (< p)."""
         one = jnp.asarray(self.ONE_RAW)[(...,) + (None,) * (a.ndim - 1)]
-        return self.mul(a, one)
+        return self.canon(self.mul(a, one))
 
     # -- exponentiation / inversion --------------------------------------
     def pow_bits(self, a, bits: np.ndarray):
@@ -219,15 +260,14 @@ class FieldOps:
         return out
 
     def inv(self, a):
-        """Batched inversion via Fermat (inputs in Montgomery form, nonzero)."""
+        """Batched inversion via Fermat (Montgomery form, nonzero inputs)."""
         return self.pow_bits(a, self._inv_bits)
 
     def pow_int(self, a, e: int):
         """a^e for small static e, unrolled square-and-multiply."""
         if e == 0:
-            shape = a.shape
             return jnp.broadcast_to(
-                jnp.asarray(self.ONE_MONT)[(...,) + (None,) * (len(shape) - 1)], shape
+                jnp.asarray(self.ONE_MONT)[(...,) + (None,) * (a.ndim - 1)], a.shape
             ).astype(jnp.uint32)
         result = None
         base = a
@@ -239,14 +279,12 @@ class FieldOps:
                 base = self.mul(base, base)
         return result
 
-    # -- predicates -------------------------------------------------------
-    @staticmethod
-    def is_zero(a):
-        return jnp.all(a == 0, axis=0)
+    # -- predicates (canonicalizing) --------------------------------------
+    def is_zero(self, a):
+        return jnp.all(self.canon(a) == 0, axis=0)
 
-    @staticmethod
-    def eq(a, b):
-        return jnp.all(a == b, axis=0)
+    def eq(self, a, b):
+        return jnp.all(self.canon(a) == self.canon(b), axis=0)
 
     @staticmethod
     def select(mask, a, b):
