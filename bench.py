@@ -1,0 +1,108 @@
+"""Benchmark: TPU MSM commit throughput + NTT throughput + proof latency.
+
+Runs on the default JAX platform (the real TPU under the driver; CPU as a
+fallback).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Headline: BN254 fixed-base MSM points/sec/chip (baseline target 1e7/s from
+BASELINE.md).  Also reports NTT butterflies/sec and three-gate proof latency.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    from plonkathon_tpu.fields import FR_MOD
+    from plonkathon_tpu.kzg import Setup
+    from plonkathon_tpu.ops.limbs import fr
+    from plonkathon_tpu.ops import ntt as dntt
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    platform = jax.default_backend()
+    rng = np.random.default_rng(42)
+
+    def rand_fr(n):
+        lo = rng.integers(0, 1 << 62, size=n, dtype=np.uint64)
+        hi = rng.integers(0, 1 << 62, size=n, dtype=np.uint64)
+        return [(int(a) * int(b) * 7 + int(a)) % FR_MOD for a, b in zip(lo, hi)]
+
+    # ---- MSM commit throughput (fixed-base, n = SRS size 2048) ----------
+    setup = Setup.from_file(
+        os.path.join(here, "tests", "fixtures", "powersOfTau28_hez_final_11.ptau")
+    )
+    engine = setup.msm_engine  # triggers window precompute
+    n = len(setup.powers_of_x)
+    coeffs = jnp.asarray(fr.to_mont_host_many(rand_fr(n)))
+    r = engine.msm_mont(coeffs)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
+    reps = 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = engine.msm_mont(coeffs)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
+    msm_dt = (time.perf_counter() - t0) / reps
+    msm_pps = n / msm_dt
+
+    # ---- NTT throughput (size 2^18) -------------------------------------
+    nn = 1 << 18
+    vals = jnp.asarray(fr.to_mont_host_many(rand_fr(min(nn, 1 << 14)) * (nn // min(nn, 1 << 14))))
+    out = dntt.ntt(vals)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = dntt.ntt(out)
+    out.block_until_ready()
+    ntt_dt = (time.perf_counter() - t0) / 4
+    butterflies = (nn // 2) * (nn.bit_length() - 1)
+    ntt_bps = butterflies / ntt_dt
+
+    # ---- Proof latency (three-gate circuit, n=8) ------------------------
+    from plonkathon_tpu.frontend import Program
+    from plonkathon_tpu.prover import Prover
+
+    program = Program(["e public", "c <== a * b", "e <== c * d"], 8)
+    prover = Prover(setup, program)
+    witness = {"a": 3, "b": 4, "c": 12, "d": 5, "e": 60}
+    prover.prove(dict(witness))  # warmup/compile
+    t0 = time.perf_counter()
+    prover.prove(dict(witness))
+    proof_dt = time.perf_counter() - t0
+
+    baseline_msm = 1e7  # points/sec/chip target from BASELINE.md
+    print(
+        json.dumps(
+            {
+                "metric": "msm_points_per_sec_per_chip",
+                "value": round(msm_pps, 1),
+                "unit": "points/s",
+                "vs_baseline": round(msm_pps / baseline_msm, 4),
+                "platform": platform,
+                "msm_ms": round(msm_dt * 1e3, 2),
+                "ntt_butterflies_per_sec": round(ntt_bps, 1),
+                "ntt_2e18_ms": round(ntt_dt * 1e3, 2),
+                "proof_n8_s": round(proof_dt, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

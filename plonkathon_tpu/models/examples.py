@@ -1,0 +1,47 @@
+"""Example circuit families exercised by tests and benchmarks."""
+
+from __future__ import annotations
+
+from ..frontend import Program
+
+# Reference test.py:107/140: e = (a*b)*d with e public.
+THREE_GATE_SOURCE = ["e public", "c <== a * b", "e <== c * d"]
+
+# Reference test.py:176-191: prove knowledge of 4-bit factors of a number.
+FACTORIZATION_SOURCE = """n public
+pb0 === pb0 * pb0
+pb1 === pb1 * pb1
+pb2 === pb2 * pb2
+pb3 === pb3 * pb3
+qb0 === qb0 * qb0
+qb1 === qb1 * qb1
+qb2 === qb2 * qb2
+qb3 === qb3 * qb3
+pb01 <== pb0 + 2 * pb1
+pb012 <== pb01 + 4 * pb2
+p <== pb012 + 8 * pb3
+qb01 <== qb0 + 2 * qb1
+qb012 <== qb01 + 4 * qb2
+q <== qb012 + 8 * qb3
+n <== p * q"""
+
+
+def three_gate_program(group_order: int = 8) -> Program:
+    return Program(list(THREE_GATE_SOURCE), group_order)
+
+
+def factorization_program(group_order: int = 16) -> Program:
+    return Program.from_str(FACTORIZATION_SOURCE, group_order)
+
+
+def mul_chain_program(n_gates: int, group_order: int) -> Program:
+    """Synthetic multiply-add chain of arbitrary size (bench workload)."""
+    assert n_gates >= 2
+    lines = ["x1 <== x0 * x0"]
+    for i in range(2, n_gates):
+        lines.append(f"x{i} <== x{i-1} * x{i-1} + {i}")
+    return Program(lines, group_order)
+
+
+def mul_chain_witness(program: Program, x0: int = 3) -> dict:
+    return program.fill_variable_assignments({"x0": x0})

@@ -52,20 +52,24 @@ def _domain(n: int, inverse: bool):
 
 
 def _ntt_impl(values, n: int, inverse: bool):
-    """values: uint32[16, n] (Montgomery).  Returns same shape/domain."""
+    """values: uint32[16, *batch, n] (Montgomery); transforms the last axis."""
     rev, stages, n_inv = _domain(n, inverse)
-    a = values[:, jnp.asarray(rev)]
+    a = jnp.take(values, jnp.asarray(rev), axis=-1)
+    batch = values.shape[1:-1]
+    nb = len(batch)
     for s, tw in enumerate(stages, start=1):
         half = 1 << (s - 1)
         blocks = n // (2 * half)
-        a = a.reshape(NLIMBS, blocks, 2, half)
-        even = a[:, :, 0, :]
-        odd = a[:, :, 1, :]
-        t = fr.mul(odd, jnp.asarray(tw)[:, None, :])
-        a = jnp.stack([fr.add(even, t), fr.sub(even, t)], axis=2)
-        a = a.reshape(NLIMBS, n)
+        a = a.reshape((NLIMBS,) + batch + (blocks, 2, half))
+        even = a[..., 0, :]
+        odd = a[..., 1, :]
+        twd = jnp.asarray(tw).reshape((NLIMBS,) + (1,) * (nb + 1) + (half,))
+        t = fr.mul(odd, twd)
+        a = jnp.stack([fr.add(even, t), fr.sub(even, t)], axis=-2)
+        a = a.reshape((NLIMBS,) + batch + (n,))
     if inverse:
-        a = fr.mul(a, jnp.asarray(n_inv)[:, None])
+        ninv = jnp.asarray(n_inv).reshape((NLIMBS,) + (1,) * (nb + 1))
+        a = fr.mul(a, ninv)
     return a
 
 
