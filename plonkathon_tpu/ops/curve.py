@@ -205,37 +205,7 @@ def _digits_impl(raw_scalars):
 _digits_jit = jax.jit(_digits_impl)
 
 
-def _segmented_prefix_scan(points, starts):
-    """Inclusive segmented scan of point adds along the last axis.
-
-    points: (X, Y, Z) [16, K]; starts: bool[K] marking segment heads.
-    Hillis-Steele with traced shift: log2(K) fori iterations, one batched
-    point-add per iteration.
-    """
-    X, Y, Z = points
-    k = X.shape[-1]
-    steps = max((k - 1).bit_length(), 1)
-    pos = jnp.arange(k)
-
-    def body(j, carry):
-        (cX, cY, cZ), flags = carry
-        shift = jnp.left_shift(1, j)
-        valid = pos >= shift
-        inX = jnp.roll(cX, shift, axis=-1)
-        inY = jnp.roll(cY, shift, axis=-1)
-        inZ = jnp.where(valid[None], jnp.roll(cZ, shift, axis=-1), 0)
-        in_flags = jnp.logical_and(jnp.roll(flags, shift), valid)
-        sX, sY, sZ = jac_add((inX, inY, inZ), (cX, cY, cZ))
-        # Elements already at a segment head ignore the incoming prefix.
-        keep = flags
-        nX = fq.select(keep, cX, sX)
-        nY = fq.select(keep, cY, sY)
-        nZ = fq.select(keep, cZ, sZ)
-        nflags = jnp.logical_or(flags, in_flags)
-        return ((nX, nY, nZ), nflags)
-
-    (X, Y, Z), _ = jax.lax.fori_loop(0, steps, body, ((X, Y, Z), starts))
-    return X, Y, Z
+_CHUNK_STEPS = 128  # scan length per chunk of the bucket accumulation
 
 
 def _suffix_scan(points):
@@ -262,28 +232,76 @@ def _msm_kernel(preX, preY, preZ, digits):
 
     pre*: [16, K] Jacobian bases; digits: [K] int32 in [0, 256).
     Returns a single Jacobian point ([16] coords).
+
+    Sorted chunked run-scan: digits are sorted once, split into C contiguous
+    chunks, and scanned position-by-position (`lax.scan`, one batched
+    point-add per step) with a tiny [16, C] running-accumulator carry —
+    the accumulator resets whenever the digit changes, so the emitted
+    prefix at each run's last position is that run's bucket sum.  One bulk
+    scatter lands run sums in per-chunk bucket arrays (unique slots within
+    a chunk), which fold pairwise (log C batched adds); the bucket
+    weighting sum_d d*B_d reduces to a suffix scan + fold.  Total group
+    work ~= K + 256*C + 512 adds, all in wide batches, with no per-step
+    gather/scatter.
     """
+    k = digits.shape[0]
+    steps = min(_CHUNK_STEPS, k)
+    nchunks = k // steps
+    assert nchunks * steps == k, "digit count must be divisible by chunk size"
+    nb = 1 << WINDOW_BITS
+
     order = jnp.argsort(digits)
     d = digits[order]
-    Xs, Ys, Zs = preX[:, order], preY[:, order], preZ[:, order]
-
-    starts = jnp.concatenate(
-        [jnp.ones((1,), dtype=jnp.bool_), d[1:] != d[:-1]], axis=0
+    Xs = preX[:, order].reshape(NLIMBS, nchunks, steps)
+    Ys = preY[:, order].reshape(NLIMBS, nchunks, steps)
+    Zs = preZ[:, order].reshape(NLIMBS, nchunks, steps)
+    dc = d.reshape(nchunks, steps)
+    prev = jnp.concatenate(
+        [jnp.full((nchunks, 1), -1, dtype=dc.dtype), dc[:, :-1]], axis=1
     )
-    scX, scY, scZ = _segmented_prefix_scan((Xs, Ys, Zs), starts)
 
-    ends = jnp.concatenate([d[1:] != d[:-1], jnp.ones((1,), dtype=jnp.bool_)], axis=0)
-    slot = jnp.where(ends, d, 1 << WINDOW_BITS)  # dump non-ends into slot 256
+    xs = (
+        dc.T,
+        prev.T,
+        Xs.transpose(2, 0, 1),  # [steps, 16, C]
+        Ys.transpose(2, 0, 1),
+        Zs.transpose(2, 0, 1),
+    )
 
-    idX, idY, idZ = jac_identity(((1 << WINDOW_BITS) + 1,))
-    bX = idX.at[:, slot].set(scX)
-    bY = idY.at[:, slot].set(scY)
-    bZ = idZ.at[:, slot].set(scZ)
-    # Keep buckets 1..255 (0 contributes nothing, 256 is the dump slot).
-    buckets = (bX[:, 1:256], bY[:, 1:256], bZ[:, 1:256])
+    def body(carry, x):
+        aX, aY, aZ = carry
+        dt, pv, px, py, pz = x
+        sX, sY, sZ = jac_add((aX, aY, aZ), (px, py, pz))
+        fresh = dt != pv  # new run starts here: accumulator restarts at P
+        nX = fq.select(fresh, px, sX)
+        nY = fq.select(fresh, py, sY)
+        nZ = fq.select(fresh, pz, sZ)
+        return (nX, nY, nZ), (nX, nY, nZ)
 
-    # total = sum_d d * B_d = sum_t (sum_{d >= t} B_d): suffix scan, then fold.
-    suffixes = _suffix_scan(buckets)
+    _, (pX, pY, pZ) = jax.lax.scan(body, jac_identity((nchunks,)), xs)
+
+    # Run ends (within each chunk) -> one bulk scatter into chunk buckets.
+    ends = jnp.concatenate(
+        [dc[:, 1:] != dc[:, :-1], jnp.ones((nchunks, 1), dtype=jnp.bool_)], axis=1
+    )
+    slot = jnp.where(ends, dc, nb)  # [C, steps]; non-ends go to dump slot
+    rows = jnp.arange(nchunks)[:, None]
+    bX, bY, bZ = jac_identity((nchunks, nb + 1))
+    bX = bX.at[:, rows, slot].set(pX.transpose(1, 2, 0))
+    bY = bY.at[:, rows, slot].set(pY.transpose(1, 2, 0))
+    bZ = bZ.at[:, rows, slot].set(pZ.transpose(1, 2, 0))
+
+    # Fold chunk bucket arrays pairwise -> [16, nb-1] (drop buckets 0, dump).
+    folded = jac_fold_sum(
+        (
+            bX[:, :, 1:nb].transpose(0, 2, 1),
+            bY[:, :, 1:nb].transpose(0, 2, 1),
+            bZ[:, :, 1:nb].transpose(0, 2, 1),
+        )
+    )
+
+    # total = sum_d d * B_d = sum_t (sum_{d >= t} B_d): suffix scan + fold.
+    suffixes = _suffix_scan(folded)
     return jac_fold_sum(suffixes)
 
 
