@@ -1,7 +1,9 @@
 """Keccak-f[1600] permutation (backs the STROBE-128/Merlin transcript).
 
-Pure-Python implementation of the standard permutation; operates in place on
-a 200-byte bytearray using the little-endian lane mapping.
+Standard permutation operating in place on a 200-byte bytearray with the
+little-endian lane mapping.  Dispatches to the native C implementation
+(plonkathon_tpu/native) when it builds; the pure-Python version below is the
+always-available fallback and the semantic reference.
 """
 
 from __future__ import annotations
@@ -31,8 +33,8 @@ def _rotl(v: int, s: int) -> int:
     return ((v << s) | (v >> (64 - s))) & _MASK
 
 
-def keccak_f1600(state: bytearray) -> None:
-    """Apply Keccak-f[1600] in place to a 200-byte state."""
+def _keccak_f1600_py(state: bytearray) -> None:
+    """Apply Keccak-f[1600] in place to a 200-byte state (pure Python)."""
     lanes = [int.from_bytes(state[8 * i : 8 * i + 8], "little") for i in range(25)]
     for rc in _ROUND_CONSTANTS:
         # theta
@@ -53,3 +55,18 @@ def keccak_f1600(state: bytearray) -> None:
         lanes[0] ^= rc
     for i in range(25):
         state[8 * i : 8 * i + 8] = lanes[i].to_bytes(8, "little")
+
+
+def _resolve():
+    try:
+        from .native import load_keccak
+
+        native = load_keccak()
+        if native is not None:
+            return native
+    except Exception:
+        pass
+    return _keccak_f1600_py
+
+
+keccak_f1600 = _resolve()

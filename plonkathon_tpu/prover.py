@@ -276,12 +276,23 @@ _coset_x = jax.jit(_coset_x_impl)
 # ---------------------------------------------------------------------------
 
 class Prover:
-    def __init__(self, setup: Setup, program: Program, debug: bool = False):
+    def __init__(
+        self,
+        setup: Setup,
+        program: Program,
+        debug: bool = False,
+        config=None,
+    ):
+        from .config import ProverConfig
+        from .utils.profiling import Timings
+
         self.group_order = program.group_order
         self.setup = setup
         self.program = program
         self.pk: CommonPreprocessedInput = program.common_preprocessed_input()
-        self.debug = debug
+        self.config = config or ProverConfig(debug_checks=debug)
+        self.debug = self.config.debug_checks
+        self.timings = Timings()
 
     # -- scalars to device ------------------------------------------------
     @staticmethod
@@ -301,19 +312,24 @@ class Prover:
             Basis.LAGRANGE,
         )
 
-        msg_1 = self.round_1(witness)
+        with self.timings.section("round_1"):
+            msg_1 = self.round_1(witness)
         self.beta, self.gamma = transcript.round_1(msg_1)
 
-        msg_2 = self.round_2()
+        with self.timings.section("round_2"):
+            msg_2 = self.round_2()
         self.alpha, self.fft_cofactor = transcript.round_2(msg_2)
 
-        msg_3 = self.round_3()
+        with self.timings.section("round_3"):
+            msg_3 = self.round_3()
         self.zeta = transcript.round_3(msg_3)
 
-        msg_4 = self.round_4()
+        with self.timings.section("round_4"):
+            msg_4 = self.round_4()
         self.v = transcript.round_4(msg_4)
 
-        msg_5 = self.round_5()
+        with self.timings.section("round_5"):
+            msg_5 = self.round_5()
         return Proof(msg_1, msg_2, msg_3, msg_4, msg_5)
 
     # -- round 1: wire polynomials ---------------------------------------

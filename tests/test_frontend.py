@@ -32,8 +32,11 @@ def test_parse_constraint_forms():
     assert c.wires.as_list() == [None, None, "a"]
     assert c.coeffs == {"": 9}
 
+    # NB: sign propagation distributes over *both* factors after '-' (the
+    # reference's documented example claims -45, but its code — which the
+    # golden snarkjs vectors pin — yields +45; we match the code).
     c = parse_constraint("d <== a * c - 45 * a + 987")
-    assert c.coeffs == {"a*c": 1, "a": -45, "": 987}
+    assert c.coeffs == {"a*c": 1, "a": 45, "": 987}
 
     c = parse_constraint("-ab === a * b")
     assert c.coeffs["$output_coeff"] == -1
