@@ -51,26 +51,59 @@ def main():
     engine = setup.msm_engine  # triggers window precompute
     n = len(setup.powers_of_x)
     coeffs = jnp.asarray(fr.to_mont_host_many(rand_fr(n)))
-    r = engine.msm_mont(coeffs)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
-    reps = 8
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = engine.msm_mont(coeffs)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
-    msm_dt = (time.perf_counter() - t0) / reps
+    # Device-side repetition: the whole dependency chain (digits -> bucket
+    # MSM -> fold result back into the next scalars) runs inside ONE jitted
+    # fori_loop, so per-call tunnel transfers cannot pollute the measurement.
+    # Two chain lengths cancel the constant upload/download cost.
+    from plonkathon_tpu.ops.curve import _msm_kernel, _digits_impl
+
+    pre = engine.precomp_for(n)
+
+    def msm_chain(c, reps):
+        def body(_, carry):
+            cc, _prev = carry
+            digits = _digits_impl(fr.from_mont(cc))
+            r = _msm_kernel(pre[0], pre[1], pre[2], digits)
+            cc = fr.add(cc, r[0][:, None])
+            return (cc, r[0])
+        return jax.lax.fori_loop(0, reps, body, (c, c[:, 0]))
+
+    chain = jax.jit(msm_chain, static_argnums=1)
+
+    def timed(reps):
+        t0 = time.perf_counter()
+        out = chain(coeffs, reps)
+        _ = np.asarray(out[1][:1])
+        return time.perf_counter() - t0
+
+    timed(2)  # compile + warm
+    timed(12)  # warm second shape... (same executable; shapes static)
+    t_short = min(timed(2) for _ in range(2))
+    t_long = min(timed(12) for _ in range(2))
+    msm_dt = max((t_long - t_short) / 10, 1e-9)
     msm_pps = n / msm_dt
 
     # ---- NTT throughput (size 2^18) -------------------------------------
     nn = 1 << 18
     vals = jnp.asarray(fr.to_mont_host_many(rand_fr(min(nn, 1 << 14)) * (nn // min(nn, 1 << 14))))
-    out = dntt.ntt(vals)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(4):
-        out = dntt.ntt(out)
-    out.block_until_ready()
-    ntt_dt = (time.perf_counter() - t0) / 4
+    from plonkathon_tpu.ops.ntt import _ntt_impl
+
+    def ntt_chain(x, reps):
+        return jax.lax.fori_loop(0, reps, lambda i, a: _ntt_impl(a, nn, False), x)
+
+    nchain = jax.jit(ntt_chain, static_argnums=1)
+
+    def ntimed(reps):
+        t0 = time.perf_counter()
+        out = nchain(vals, reps)
+        _ = np.asarray(out[:, :1])
+        return time.perf_counter() - t0
+
+    ntimed(2)
+    ntimed(12)
+    nt_short = min(ntimed(2) for _ in range(2))
+    nt_long = min(ntimed(12) for _ in range(2))
+    ntt_dt = max((nt_long - nt_short) / 10, 1e-9)
     butterflies = (nn // 2) * (nn.bit_length() - 1)
     ntt_bps = butterflies / ntt_dt
 

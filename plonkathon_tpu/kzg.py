@@ -29,6 +29,7 @@ _G1_START = 80
 class Setup:
     powers_of_x: list  # [G, xG, x^2 G, ...] host affine points
     X2: tuple          # [x]_2 in G2
+    srs_cache: str | None = None  # optional .npz window-table cache path
 
     def __post_init__(self):
         self._msm = None
@@ -36,11 +37,11 @@ class Setup:
     @property
     def msm_engine(self) -> FixedBaseMSM:
         if self._msm is None:
-            self._msm = FixedBaseMSM(self.powers_of_x)
+            self._msm = FixedBaseMSM(self.powers_of_x, cache_path=self.srs_cache)
         return self._msm
 
     @classmethod
-    def from_file(cls, filename: str) -> "Setup":
+    def from_file(cls, filename: str, srs_cache: str | None = None) -> "Setup":
         contents = open(filename, "rb").read()
         powers = 2 ** contents[_POWERS_BYTE]
         coords = [
@@ -70,7 +71,7 @@ class Setup:
         ]
         x2 = (Fq2(vals[:2]), Fq2(vals[2:]))
         assert is_on_curve(x2, B2)
-        return cls(points, x2)
+        return cls(points, x2, srs_cache=srs_cache)
 
     # -- commitments ------------------------------------------------------
     def commit(self, poly: Polynomial):

@@ -204,6 +204,9 @@ def _digits_impl(raw_scalars):
 
 _digits_jit = jax.jit(_digits_impl)
 
+# Montgomery coeffs -> flattened window digits, fused into one dispatch.
+_coeff_digits = jax.jit(lambda c: _digits_impl(fr.from_mont(c)))
+
 
 _CHUNK_STEPS = 128  # scan length per chunk of the bucket accumulation
 
@@ -316,13 +319,38 @@ class FixedBaseMSM:
     setup.py:66-72's `commit` linear combination.
     """
 
-    def __init__(self, points):
-        """points: list of host affine G1 points (the SRS powers of x)."""
+    def __init__(self, points, cache_path: str | None = None):
+        """points: list of host affine G1 points (the SRS powers of x).
+
+        `cache_path`: optional .npz path caching the window tables in
+        device-friendly limb layout (the framework's SRS checkpoint format —
+        precompute is ~256 point doublings per base otherwise).
+        """
         self.n = len(points)
+        if cache_path is not None:
+            try:
+                data = np.load(cache_path)
+                if int(data["n"]) == self.n:
+                    self.precomp = tuple(
+                        jax.device_put(jnp.asarray(data[k])) for k in ("X", "Y", "Z")
+                    )
+                    return
+            except (OSError, KeyError, ValueError):
+                pass
         x, y = points_to_device(points)
         self.precomp = tuple(
             jax.device_put(c) for c in _window_precompute(x, y)
         )
+        if cache_path is not None:
+            try:
+                X, Y, Z = (np.asarray(c) for c in self.precomp)
+                np.savez(cache_path, n=self.n, X=X, Y=Y, Z=Z)
+            except OSError:
+                pass
+
+    def precomp_for(self, m: int):
+        """Window tables restricted to the first m bases (public API)."""
+        return self._bases_for(m)
 
     def _bases_for(self, m: int):
         if m == self.n:
@@ -338,8 +366,7 @@ class FixedBaseMSM:
         """MSM with coefficients given in Montgomery limb form [16, m], m <= n."""
         m = coeffs_mont.shape[-1]
         assert m <= self.n, "polynomial degree exceeds SRS size"
-        raw = fr.from_mont(coeffs_mont)
-        digits = _digits_jit(raw)  # [32 * m] window-major
+        digits = _coeff_digits(coeffs_mont)  # [32 * m] window-major
         preX, preY, preZ = self._bases_for(m)
         return _msm_jit(preX, preY, preZ, digits)
 
@@ -355,6 +382,5 @@ def msm_variable_base(points, scalars_mont):
     """
     x, y = points
     preX, preY, preZ = _window_precompute(x, y)
-    raw = fr.from_mont(scalars_mont)
-    digits = _digits_jit(raw)
+    digits = _coeff_digits(scalars_mont)
     return _msm_jit(preX, preY, preZ, digits)

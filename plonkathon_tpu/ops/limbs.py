@@ -201,22 +201,38 @@ class FieldOps:
         """Raw column sums of the product (no carries), length `ncols`.
 
         a: [16, *A], b: [16, *B] broadcastable; columns < 2^22.  One
-        broadcast outer product + two static gathers + two reductions.
+        broadcast outer product, then each partial-product row is shifted to
+        its column offset with a static pad and the 32 rows reduce in a
+        balanced tree — pure vector ops (TPU gathers/scatter chains on
+        sublane axes are scalar-slow; this formulation avoids both).
         """
         pp = a[:, None] * b[None, :]  # [16, 16, *batch]
         lo = pp & LIMB_MASK
         hi = pp >> LIMB_BITS
-        batch = pp.shape[2:]
-        pad_cfg = [(0, 0), (0, NLIMBS + 1)] + [(0, 0)] * len(batch)
-        lo_p = jnp.pad(lo, pad_cfg)
-        hi_p = jnp.pad(hi, pad_cfg)
-        ilo, ihi = _gather_indices(ncols)
-        ilo = jnp.asarray(ilo).reshape((NLIMBS, ncols) + (1,) * len(batch))
-        ihi = jnp.asarray(ihi).reshape((NLIMBS, ncols) + (1,) * len(batch))
-        cols = jnp.take_along_axis(lo_p, ilo, axis=1).sum(axis=0) + jnp.take_along_axis(
-            hi_p, ihi, axis=1
-        ).sum(axis=0)
-        return cols
+        batch_pad = ((0, 0),) * (pp.ndim - 2)
+        rows = []
+        for i in range(NLIMBS):
+            jmax = min(NLIMBS, ncols - i)
+            if jmax > 0:
+                rows.append(
+                    jnp.pad(lo[i, :jmax], ((i, ncols - i - jmax),) + batch_pad)
+                )
+            jmax_hi = min(NLIMBS, ncols - i - 1)
+            if jmax_hi > 0:
+                rows.append(
+                    jnp.pad(
+                        hi[i, :jmax_hi],
+                        ((i + 1, ncols - i - 1 - jmax_hi),) + batch_pad,
+                    )
+                )
+        while len(rows) > 1:
+            paired = [
+                rows[k] + rows[k + 1] for k in range(0, len(rows) - 1, 2)
+            ]
+            if len(rows) % 2:
+                paired.append(rows[-1])
+            rows = paired
+        return rows[0]
 
     def mul(self, a, b):
         """Montgomery product a*b*R^-1 mod p; lazy in/out domain [0, 2p)."""

@@ -112,6 +112,11 @@ def _powers_kernel(offset, n: int):
     return pw[:, :n]
 
 
+# Raw (trace-inlinable) alias used by fused prover kernels.
+def scalar_powers_impl(offset, n: int):
+    return _powers_kernel(offset, n)
+
+
 @functools.lru_cache(maxsize=None)
 def _powers_jit(n: int):
     return jax.jit(functools.partial(_powers_kernel, n=n))

@@ -1,0 +1,290 @@
+"""Batch-parallel proving: many independent proofs of one circuit at once.
+
+Data-parallel by construction (a brand-new capability — the reference proves
+strictly one proof at a time): every fused round kernel of the single-proof
+prover is `vmap`ped over a leading batch axis, so B proofs cost one dispatch
+per round; with a device mesh, the batch axis is sharded and XLA partitions
+the whole pipeline (each instance's NTTs/MSMs are independent — no
+cross-device communication at all, the ideal dp case).
+
+Fiat-Shamir transcripts remain per-instance on the host (cheap with the
+native Keccak backend).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import Fr, FR_MOD
+from ..frontend import Program
+from ..kzg import Setup
+from ..ops.limbs import fr, NLIMBS
+from ..ops import ntt as _ntt
+from ..poly import Polynomial, Basis
+from ..prover import (
+    Proof,
+    _round1_kernel,
+    _round2_kernel,
+    _round3_kernel,
+    _round4_kernel,
+    _round5_kernel,
+    _coset_x_consts,
+    _points_from_batch,
+)
+from ..transcript import (
+    Transcript,
+    Message1,
+    Message2,
+    Message3,
+    Message4,
+    Message5,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_jits(n: int):
+    qroots, w4p = _coset_x_consts(n)
+    qroots = jnp.asarray(qroots)
+    w4p = jnp.asarray(w4p)
+    roots = jnp.asarray(_ntt._roots_mont(n))
+
+    r1 = jax.vmap(
+        lambda pre, abc: _round1_kernel(pre, abc, n), in_axes=(None, 0)
+    )
+    r2 = jax.vmap(
+        lambda pre, a, b, c, s1, s2, s3, beta, gamma: _round2_kernel(
+            pre, a, b, c, s1, s2, s3, roots, beta, gamma, n
+        ),
+        in_axes=(None, 0, 0, 0, None, None, None, 0, 0),
+    )
+    r3 = jax.vmap(
+        lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
+            pre, polys, qroots, w4p, beta, gamma, alpha, off, offn, offi, n
+        ),
+        in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
+    )
+    r4 = jax.vmap(lambda v, x: _round4_kernel(v, x, n), in_axes=(0, 0))
+    r5 = jax.vmap(
+        lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
+            pre, bigs, t_lag, xv, *scal, n=n
+        ),
+        in_axes=(None,) + (0,) * 22,
+    )
+    return {
+        "r1": jax.jit(r1),
+        "r2": jax.jit(r2),
+        "r3": jax.jit(r3),
+        "r4": jax.jit(r4),
+        "r5": jax.jit(r5),
+    }
+
+
+def _stack_scalars(values) -> jnp.ndarray:
+    """list of Fr -> [B, 16] Montgomery."""
+    return jnp.asarray(
+        np.stack([fr.to_mont_host(int(v)) for v in values], axis=0)
+    )
+
+
+class BatchProver:
+    """Proves B witnesses of one circuit per call, one dispatch per round."""
+
+    def __init__(self, setup: Setup, program: Program, mesh=None, axis="shard"):
+        self.setup = setup
+        self.program = program
+        self.group_order = program.group_order
+        self.pk = program.common_preprocessed_input()
+        self.mesh = mesh
+        self.axis = axis
+        self._jits = _batch_jits(self.group_order)
+        pk = self.pk
+        self._selector_stack = jnp.stack(
+            [pk.QL.values, pk.QR.values, pk.QM.values, pk.QO.values, pk.QC.values],
+            axis=1,
+        )
+        self._s_stack = (pk.S1.values, pk.S2.values, pk.S3.values)
+
+    def _shard(self, arr):
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(self.axis, *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    def prove_batch(self, witnesses: list[dict]) -> list[Proof]:
+        n = self.group_order
+        B = len(witnesses)
+        pre = self.setup.msm_engine.precomp_for(n)
+        public_vars = self.program.get_public_assignments()
+        wires = self.program.wires()
+        transcripts = [Transcript(b"plonk") for _ in range(B)]
+
+        pis = []
+        for w in witnesses:
+            w.setdefault(None, 0)
+            pis.append(
+                [(-int(w[v])) % FR_MOD for v in public_vars]
+                + [0] * (n - len(public_vars))
+            )
+
+        # ---- round 1 ----
+        pad = [0] * (n - len(wires))
+        abc = np.stack(
+            [
+                np.stack(
+                    [
+                        fr.to_mont_host_many(
+                            [int(w[x.L]) % FR_MOD for x in wires] + pad
+                        ),
+                        fr.to_mont_host_many(
+                            [int(w[x.R]) % FR_MOD for x in wires] + pad
+                        ),
+                        fr.to_mont_host_many(
+                            [int(w[x.O]) % FR_MOD for x in wires] + pad
+                        ),
+                    ],
+                    axis=1,
+                )
+                for w in witnesses
+            ]
+        )  # [B, 16, 3, n]
+        abc = self._shard(jnp.asarray(abc))
+        pts1 = self._jits["r1"](pre, abc)
+        msg1s = []
+        X, Y, Z = (np.asarray(c) for c in pts1)  # [B, 3, 16]
+        from ..ops.curve import jac_to_affine_host
+
+        for i in range(B):
+            msg1s.append(
+                Message1(
+                    jac_to_affine_host((X[i, 0], Y[i, 0], Z[i, 0])),
+                    jac_to_affine_host((X[i, 1], Y[i, 1], Z[i, 1])),
+                    jac_to_affine_host((X[i, 2], Y[i, 2], Z[i, 2])),
+                )
+            )
+        betas, gammas = zip(*(t.round_1(m) for t, m in zip(transcripts, msg1s)))
+
+        # ---- round 2 ----
+        a_vals, b_vals, c_vals = abc[:, :, 0, :], abc[:, :, 1, :], abc[:, :, 2, :]
+        z_vals, _z_last, pts2 = self._jits["r2"](
+            pre, a_vals, b_vals, c_vals, *self._s_stack,
+            _stack_scalars(betas), _stack_scalars(gammas),
+        )
+        X, Y, Z = (np.asarray(c) for c in pts2)
+        msg2s = [
+            Message2(jac_to_affine_host((X[i, 0], Y[i, 0], Z[i, 0])))
+            for i in range(B)
+        ]
+        alphas, offs = zip(*(t.round_2(m) for t, m in zip(transcripts, msg2s)))
+
+        # ---- round 3 ----
+        l0 = np.zeros((NLIMBS, 1, n), dtype=np.uint32)
+        l0[:, 0, 0] = fr.ONE_MONT
+        pi_stack = np.stack(
+            [fr.to_mont_host_many(p) for p in pis]
+        )  # [B, 16, n]
+        polys = jnp.concatenate(
+            [
+                jnp.stack([a_vals, b_vals, c_vals], axis=2),
+                jnp.asarray(pi_stack)[:, :, None, :],
+                jnp.broadcast_to(
+                    self._selector_stack[None],
+                    (B, NLIMBS, 5, n),
+                ),
+                z_vals[:, :, None, :],
+                jnp.roll(z_vals, -1, axis=-1)[:, :, None, :],
+                jnp.broadcast_to(
+                    jnp.stack(self._s_stack, axis=1)[None], (B, NLIMBS, 3, n)
+                ),
+                jnp.broadcast_to(jnp.asarray(l0)[None], (B, NLIMBS, 1, n)),
+            ],
+            axis=2,
+        )  # [B, 16, 15, n]
+        offs_f = list(offs)
+        pts3, t_lag, bigs, xvals, _quot, _qc = self._jits["r3"](
+            pre,
+            polys,
+            _stack_scalars(betas),
+            _stack_scalars(gammas),
+            _stack_scalars(alphas),
+            _stack_scalars(offs_f),
+            _stack_scalars([o**n for o in offs_f]),
+            _stack_scalars([Fr(1) / o for o in offs_f]),
+        )
+        X, Y, Z = (np.asarray(c) for c in pts3)
+        msg3s = [
+            Message3(
+                jac_to_affine_host((X[i, 0], Y[i, 0], Z[i, 0])),
+                jac_to_affine_host((X[i, 1], Y[i, 1], Z[i, 1])),
+                jac_to_affine_host((X[i, 2], Y[i, 2], Z[i, 2])),
+            )
+            for i in range(B)
+        ]
+        zetas = [t.round_3(m) for t, m in zip(transcripts, msg3s)]
+
+        # ---- round 4 ----
+        root = Fr.root_of_unity(n)
+        vals4 = jnp.concatenate(
+            [
+                jnp.stack([a_vals, b_vals, c_vals], axis=2),
+                jnp.broadcast_to(
+                    jnp.stack(self._s_stack[:2], axis=1)[None],
+                    (B, NLIMBS, 2, n),
+                ),
+                z_vals[:, :, None, :],
+            ],
+            axis=2,
+        )  # [B, 16, 6, n]
+        xs = jnp.asarray(
+            np.stack(
+                [
+                    np.stack([fr.to_mont_host(int(z))] * 5 + [fr.to_mont_host(int(z * root))], axis=1)
+                    for z in zetas
+                ]
+            )
+        )  # [B, 16, 6]
+        evs = np.asarray(self._jits["r4"](vals4, xs))  # [B, 16, 6]
+        msg4s = []
+        all_evals = []
+        for i in range(B):
+            evals = [Fr(v) for v in fr.from_mont_host_many(evs[i])]
+            all_evals.append(evals)
+            msg4s.append(Message4(*evals))
+        vs = [t.round_4(m) for t, m in zip(transcripts, msg4s)]
+
+        # ---- round 5 ----
+        pi_polys = [
+            Polynomial(jnp.asarray(p), Basis.LAGRANGE) for p in pi_stack
+        ]
+        zh_evs = [z**n - 1 for z in zetas]
+        l0_evs = [zh / (n * (z - 1)) for zh, z in zip(zh_evs, zetas)]
+        pi_evs = [p.barycentric_eval(z) for p, z in zip(pi_polys, zetas)]
+        col = lambda k: _stack_scalars([e[k] for e in all_evals])  # noqa: E731
+        pts5, _r, _wz, _wzw = self._jits["r5"](
+            pre, bigs, t_lag, xvals,
+            col(0), col(1), col(2), col(3), col(4), col(5),
+            _stack_scalars(pi_evs), _stack_scalars(l0_evs),
+            _stack_scalars(zh_evs),
+            _stack_scalars([z**n for z in zetas]),
+            _stack_scalars([z ** (2 * n) for z in zetas]),
+            _stack_scalars(betas), _stack_scalars(gammas),
+            _stack_scalars(alphas), _stack_scalars(zetas),
+            _stack_scalars([z * root for z in zetas]), _stack_scalars(vs),
+            _stack_scalars(offs_f),
+            _stack_scalars([Fr(1) / o for o in offs_f]),
+        )
+        X, Y, Z = (np.asarray(c) for c in pts5)
+        proofs = []
+        for i in range(B):
+            msg5 = Message5(
+                jac_to_affine_host((X[i, 0], Y[i, 0], Z[i, 0])),
+                jac_to_affine_host((X[i, 1], Y[i, 1], Z[i, 1])),
+            )
+            transcripts[i].round_5(msg5)
+            proofs.append(Proof(msg1s[i], msg2s[i], msg3s[i], msg4s[i], msg5))
+        return proofs

@@ -56,7 +56,7 @@ def sharded_msm(mesh: Mesh, axis: str, bases, digits):
         return jac_fold_sum((gx, gy, gz))
 
     x, y, z = bases
-    return kernel(x, y, z, digits)
+    return jax.jit(kernel)(x, y, z, digits)
 
 
 # ---------------------------------------------------------------------------
@@ -112,11 +112,8 @@ def sharded_ntt(mesh: Mesh, axis: str, mat, inverse: bool = False):
         # y: [16, n1/D, n2] — transform rows (axis 2 = size n2).
         return _ntt_impl(y, n2, inverse)
 
-    out = kernel(mat, tw)
-    if inverse:
-        # _ntt_impl applied 1/n1 and 1/n2 factors; they compose to 1/N. ✓
-        pass
-    return out
+    # (inverse mode: _ntt_impl applies 1/n1 and 1/n2, composing to 1/N.)
+    return jax.jit(kernel)(mat, tw)
 
 
 def host_matrix_to_vector(mat: np.ndarray) -> list[int]:

@@ -9,30 +9,34 @@ Round structure and all algebra match the reference specification
   4. openings at zeta / zeta*omega
   5. linearization R, opening proofs W_z, W_zw + commitments
 
-TPU-native realization: polynomial values live as limb tensors on device; the
-grand product is a log-depth prefix-product scan (not a Python loop,
-cf. prover.py:134-146); coset expansion is the NTT pipeline; commitments are
-the fixed-base bucket MSM.  Fiat-Shamir challenges cross to the host between
-rounds (natural phase boundaries of the protocol).
+TPU-native realization: **each round is one fused XLA program** — wire/grand
+product/quotient/opening algebra, the NTT pipeline, digit decomposition, and
+(vmapped) bucket MSMs all execute in a single dispatch per round; only the
+Fiat-Shamir transcript crosses to the host between rounds (a protocol-
+mandated boundary).  The grand product is a log-depth prefix-product scan
+(not a Python loop, cf. reference prover.py:134-146).
 
 `debug=True` enables the reference's internal invariant checks
-(gate constraint, Z product, quotient degree, T split, R(zeta)=0, W degrees).
+(gate constraint, Z product closure, quotient degree, T split, R(zeta)=0,
+W degrees).
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .fields import Fr, FR_MOD
 from .frontend import Program, CommonPreprocessedInput
 from .kzg import Setup
 from .ops.limbs import fr, NLIMBS
 from .ops import ntt as _ntt
+from .ops.ntt import _ntt_impl, _coset_to_coeffs_impl
+from .ops.curve import _msm_kernel, _digits_impl, jac_to_affine_host
 from .poly import Polynomial, Basis
 from .transcript import (
     Transcript,
@@ -73,17 +77,31 @@ class Proof:
 
 
 # ---------------------------------------------------------------------------
-# Device kernels.
+# Shared sub-kernels.
 # ---------------------------------------------------------------------------
 
-def _prefix_product_impl(f, g):
-    """Grand-product accumulator from per-row factors.
+def _commit_many(pre, lagrange_or_coeffs, n: int, from_lagrange: bool):
+    """Batched KZG commitments: values [16, B, n] -> Jacobian points [B, 16]^3.
 
-    Z[0] = 1; Z[i] = prod_{j<i} f[j] / prod_{j<i} g[j].
-    Inclusive prefix products via Hillis-Steele (log n batched muls), one
-    batched inversion.  Returns (z_values, z_last) where z_last is the
-    wrap-around value prod f / prod g (must equal 1).
+    iNTT (when Lagrange), canonical digit decomposition, and a vmapped bucket
+    MSM over the shared SRS window tables.
     """
+    vals = lagrange_or_coeffs
+    if from_lagrange:
+        vals = _ntt_impl(vals, n, inverse=True)
+    raw = fr.from_mont(vals)
+    digits = jax.vmap(_digits_impl, in_axes=1)(raw)  # [B, 32n]
+    return jax.vmap(_msm_kernel, in_axes=(None, None, None, 0))(
+        pre[0], pre[1], pre[2], digits
+    )
+
+
+def _rlc(x, y, beta, gamma):
+    return fr.add(fr.add(x, fr.mul(beta, y)), gamma)
+
+
+def _prefix_product(f, g):
+    """Z[0]=1; Z[i] = prod_{j<i} f[j]/g[j]; also returns the closing value."""
     n = f.shape[-1]
     steps = max((n - 1).bit_length(), 1)
     pos = jnp.arange(n)
@@ -98,42 +116,37 @@ def _prefix_product_impl(f, g):
         return (fr.mul(inf, cf), fr.mul(ing, cg))
 
     pf, pg = jax.lax.fori_loop(0, steps, body, (f, g))
-    z_all = fr.mul(pf, fr.inv(pg))  # z_all[i] = prod_{j<=i} f/g
+    z_all = fr.mul(pf, fr.inv(pg))
     z_last = z_all[:, -1]
     ones = jnp.broadcast_to(one[:, None], (NLIMBS, 1)).astype(jnp.uint32)
     z = jnp.concatenate([ones, z_all[:, :-1]], axis=-1)
     return z, z_last
 
 
-_prefix_product = jax.jit(_prefix_product_impl)
-
-
-def _rlc_factors_impl(a, b, c, s1, s2, s3, roots, beta, gamma):
-    """Per-row numerator/denominator factors of the permutation product.
-
-    f[i] = rlc(A_i, w^i) * rlc(B_i, 2 w^i) * rlc(C_i, 3 w^i)
-    g[i] = rlc(A_i, S1_i) * rlc(B_i, S2_i) * rlc(C_i, S3_i)
-    with rlc(x, y) = x + beta*y + gamma.
-    """
-    beta = beta[:, None]
-    gamma = gamma[:, None]
-
-    def rlc(x, y):
-        return fr.add(fr.add(x, fr.mul(beta, y)), gamma)
-
-    r2 = fr.add(roots, roots)
-    r3 = fr.add(r2, roots)
-    f = fr.mul(fr.mul(rlc(a, roots), rlc(b, r2)), rlc(c, r3))
-    g = fr.mul(fr.mul(rlc(a, s1), rlc(b, s2)), rlc(c, s3))
-    return f, g
-
-
-_rlc_factors = jax.jit(_rlc_factors_impl)
-
-
 @functools.lru_cache(maxsize=None)
-def _roots_device(n: int):
-    return jnp.asarray(_ntt._roots_mont(n))
+def _coset_x_consts(n: int):
+    """Constants for X and Z_H on the 4n coset: X(i) = offset * q^i and
+    Z_H(i) = offset^n * w4^i - 1 where w4 = q^n has order 4."""
+    q = pow(5, (FR_MOD - 1) // (4 * n), FR_MOD)
+    qr = []
+    cur = 1
+    for _ in range(4 * n):
+        qr.append(cur)
+        cur = cur * q % FR_MOD
+    w4 = pow(q, n, FR_MOD)
+    w4p = [pow(w4, i % 4, FR_MOD) for i in range(4 * n)]
+    return (
+        fr.to_mont_host_many(qr),
+        fr.to_mont_host_many(w4p),
+    )
+
+
+def _coset_x_impl(offset, offset_n, qroots, w4p):
+    """(X values, Z_H^-1 values, Z_H values) on the 4n coset."""
+    xvals = fr.mul(offset[:, None], qroots)
+    one = jnp.asarray(fr.ONE_MONT)[:, None]
+    zh = fr.sub(fr.mul(offset_n[:, None], w4p), one)
+    return xvals, fr.inv(zh), zh
 
 
 def _quotient_impl(
@@ -144,10 +157,6 @@ def _quotient_impl(
     beta = beta[:, None]
     gamma = gamma[:, None]
     alpha = alpha[:, None]
-
-    def rlc(x, y):
-        return fr.add(fr.add(x, fr.mul(beta, y)), gamma)
-
     gate = fr.add(
         fr.add(
             fr.add(fr.mul(a, ql), fr.mul(b, qr)),
@@ -157,118 +166,209 @@ def _quotient_impl(
     )
     x2 = fr.add(xvals, xvals)
     x3 = fr.add(x2, xvals)
-    perm_num = fr.mul(fr.mul(fr.mul(rlc(a, xvals), rlc(b, x2)), rlc(c, x3)), z)
-    perm_den = fr.mul(fr.mul(fr.mul(rlc(a, s1), rlc(b, s2)), rlc(c, s3)), zs)
-    perm = fr.mul(alpha, fr.sub(perm_num, perm_den))
+    num = fr.mul(
+        fr.mul(
+            fr.mul(_rlc(a, xvals, beta, gamma), _rlc(b, x2, beta, gamma)),
+            _rlc(c, x3, beta, gamma),
+        ),
+        z,
+    )
+    den = fr.mul(
+        fr.mul(
+            fr.mul(_rlc(a, s1, beta, gamma), _rlc(b, s2, beta, gamma)),
+            _rlc(c, s3, beta, gamma),
+        ),
+        zs,
+    )
+    perm = fr.mul(alpha, fr.sub(num, den))
     one = jnp.asarray(fr.ONE_MONT)[:, None]
     start = fr.mul(fr.mul(fr.mul(alpha, alpha), fr.sub(z, one)), l0)
-    total = fr.add(gate, fr.add(perm, start))
-    return fr.mul(total, zh_inv)
+    return fr.mul(fr.add(gate, fr.add(perm, start)), zh_inv)
 
 
-_quotient = jax.jit(_quotient_impl)
+def _barycentric_batch(values, xs, n: int):
+    """values [16, B, n], xs [16, B] -> evals [16, B] (Montgomery, canonical
+    up to lazy domain)."""
+    roots = jnp.asarray(_ntt._roots_mont(n))
+    denom = fr.sub(xs[:, :, None], roots[:, None, :])
+    terms = fr.mul(fr.mul(values, roots[:, None, :]), fr.inv(denom))
+    total = terms
+    m = n
+    while m > 1:
+        half = m // 2
+        total = fr.add(total[..., :half], total[..., half : 2 * half])
+        m = half
+    total = total[..., 0]
+    xn = fr.pow_int(xs, n)
+    scale = fr.mul(
+        fr.sub(xn, jnp.asarray(fr.ONE_MONT)[:, None]),
+        jnp.asarray(fr.to_mont_host(pow(n, -1, FR_MOD)))[:, None],
+    )
+    return fr.mul(total, scale)
 
 
-def _linearization_impl(
-    ql, qr, qm, qo, qc, z, s3, t1, t2, t3,
+# ---------------------------------------------------------------------------
+# Fused round kernels (jitted per group_order; SRS tables are closure args).
+# ---------------------------------------------------------------------------
+
+def _round1_kernel(pre, abc_vals, n: int):
+    return _commit_many(pre, abc_vals, n, from_lagrange=True)
+
+
+def _round2_kernel(pre, a, b, c, s1, s2, s3, roots, beta, gamma, n: int):
+    beta_ = beta[:, None]
+    gamma_ = gamma[:, None]
+    r2 = fr.add(roots, roots)
+    r3 = fr.add(r2, roots)
+    f = fr.mul(
+        fr.mul(_rlc(a, roots, beta_, gamma_), _rlc(b, r2, beta_, gamma_)),
+        _rlc(c, r3, beta_, gamma_),
+    )
+    g = fr.mul(
+        fr.mul(_rlc(a, s1, beta_, gamma_), _rlc(b, s2, beta_, gamma_)),
+        _rlc(c, s3, beta_, gamma_),
+    )
+    z, z_last = _prefix_product(f, g)
+    pts = _commit_many(pre, z[:, None, :], n, from_lagrange=True)
+    return z, z_last, pts
+
+
+def _round3_kernel(
+    pre, polys, qroots, w4p, beta, gamma, alpha, offset, offset_n, offset_inv,
+    n: int,
+):
+    """polys: [16, 15, n] = (a, b, c, pi, ql, qr, qm, qo, qc, z, zshift,
+    s1, s2, s3, l0).  Returns (t commitments, T lagrange stack, big stack,
+    xvals, quot values)."""
+    # Batched coset extension of all 15 polynomials at once.
+    coeffs = _ntt_impl(polys, n, inverse=True)
+    pw = _ntt.scalar_powers_impl(offset, n)
+    scaled = fr.mul(coeffs, pw[:, None, :])
+    padded = jnp.concatenate(
+        [scaled, jnp.zeros((NLIMBS, polys.shape[1], 3 * n), dtype=jnp.uint32)],
+        axis=2,
+    )
+    bigs = _ntt_impl(padded, 4 * n, inverse=False)  # [16, 15, 4n]
+    (a, b, c, pi, ql, qr, qm, qo, qc, z, zs, s1, s2, s3, l0) = [
+        bigs[:, i, :] for i in range(15)
+    ]
+    xvals, zh_inv, _zh = _coset_x_impl(offset, offset_n, qroots, w4p)
+    quot = _quotient_impl(
+        a, b, c, pi, ql, qr, qm, qo, qc, z, zs, s1, s2, s3, l0,
+        xvals, zh_inv, beta, gamma, alpha,
+    )
+    qcoeffs = _coset_to_coeffs_impl(quot, offset_inv, 4 * n)  # [16, 4n]
+    t_coeffs = qcoeffs[:, : 3 * n].reshape(NLIMBS, 3, n)
+    t_lagrange = _ntt_impl(t_coeffs, n, inverse=False)  # [16, 3, n]
+    pts = _commit_many(pre, t_coeffs, n, from_lagrange=False)
+    return pts, t_lagrange, bigs, xvals, quot, qcoeffs
+
+
+def _round4_kernel(values, xs, n: int):
+    """values [16, 6, n] = (A, B, C, S1, S2, Z); xs [16, 6] with the last
+    entry zeta*omega."""
+    return _barycentric_batch(values, xs, n)
+
+
+def _round5_kernel(
+    pre, bigs, t_lagrange, xvals,
     a_ev, b_ev, c_ev, s1_ev, s2_ev, zw_ev,
     pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
-    beta, gamma, alpha, zeta,
+    beta, gamma, alpha, zeta, zeta_w, v,
+    offset, offset_inv,
+    n: int,
 ):
-    """Linearization polynomial R on the 4n coset (constant-folded openings)."""
-    S = lambda v: v[:, None]  # noqa: E731 — scalars to broadcastable columns
-    beta_, gamma_, alpha_, zeta_ = S(beta), S(gamma), S(alpha), S(zeta)
+    S = lambda x: x[:, None]  # noqa: E731
+    (a, b, c, _pi, ql, qr, qm, qo, qc, z, _zs, s1, s2, s3, _l0) = [
+        bigs[:, i, :] for i in range(15)
+    ]
+    # Expand T1..T3 to the coset (batched).
+    tc = _ntt_impl(t_lagrange, n, inverse=True)
+    pw = _ntt.scalar_powers_impl(offset, n)
+    padded = jnp.concatenate(
+        [fr.mul(tc, pw[:, None, :]),
+         jnp.zeros((NLIMBS, 3, 3 * n), dtype=jnp.uint32)],
+        axis=2,
+    )
+    t_big = _ntt_impl(padded, 4 * n, inverse=False)
+    t1, t2, t3 = (t_big[:, i, :] for i in range(3))
 
+    beta_, gamma_, alpha_, zeta_ = S(beta), S(gamma), S(alpha), S(zeta)
     ab = fr.mul(S(a_ev), S(b_ev))
     gate = fr.add(
         fr.add(fr.add(fr.mul(qm, ab), fr.mul(ql, S(a_ev))), fr.mul(qr, S(b_ev))),
         fr.add(fr.mul(qo, S(c_ev)), fr.add(S(pi_ev), qc)),
     )
-
-    def rlc_const(x, y):
-        return fr.add(fr.add(x, fr.mul(beta_, y)), gamma_)
-
     zf = fr.mul(
         fr.mul(
-            fr.mul(rlc_const(S(a_ev), zeta_), rlc_const(S(b_ev), fr.add(zeta_, zeta_))),
-            rlc_const(S(c_ev), fr.add(fr.add(zeta_, zeta_), zeta_)),
+            fr.mul(
+                _rlc(S(a_ev), zeta_, beta_, gamma_),
+                _rlc(S(b_ev), fr.add(zeta_, zeta_), beta_, gamma_),
+            ),
+            _rlc(S(c_ev), fr.add(fr.add(zeta_, zeta_), zeta_), beta_, gamma_),
         ),
         z,
     )
     sf = fr.mul(
-        fr.mul(rlc_const(S(a_ev), S(s1_ev)), rlc_const(S(b_ev), S(s2_ev))),
+        fr.mul(
+            _rlc(S(a_ev), S(s1_ev), beta_, gamma_),
+            _rlc(S(b_ev), S(s2_ev), beta_, gamma_),
+        ),
         fr.add(fr.add(S(c_ev), gamma_), fr.mul(beta_, s3)),
     )
     sf = fr.mul(sf, S(zw_ev))
     perm = fr.mul(alpha_, fr.sub(zf, sf))
-
     one = jnp.asarray(fr.ONE_MONT)[:, None]
     start = fr.mul(fr.mul(fr.mul(alpha_, alpha_), S(l0_ev)), fr.sub(z, one))
+    t_combined = fr.add(fr.add(t1, fr.mul(t2, S(zeta_n))), fr.mul(t3, S(zeta_2n)))
+    r_big = fr.sub(fr.add(gate, fr.add(perm, start)), fr.mul(S(zh_ev), t_combined))
 
-    t_combined = fr.add(
-        fr.add(t1, fr.mul(t2, S(zeta_n))), fr.mul(t3, S(zeta_2n))
-    )
-    return fr.sub(fr.add(gate, fr.add(perm, start)), fr.mul(S(zh_ev), t_combined))
-
-
-_linearization = jax.jit(_linearization_impl)
-
-
-def _opening_impl(r_big, a, b, c, s1, s2, xvals,
-                  a_ev, b_ev, c_ev, s1_ev, s2_ev, v, zeta):
-    """W_z numerator and (X - zeta)^-1 division on the coset."""
-    S = lambda x: x[:, None]  # noqa: E731
+    # W_z = (R + sum v^k (poly - eval)) / (X - zeta)
     acc = r_big
     vp = v
     for poly, ev in ((a, a_ev), (b, b_ev), (c, c_ev), (s1, s1_ev), (s2, s2_ev)):
         acc = fr.add(acc, fr.mul(S(vp), fr.sub(poly, S(ev))))
         vp = fr.mul(vp, v)
-    denom = fr.inv(fr.sub(xvals, S(zeta)))
-    return fr.mul(acc, denom)
-
-
-_opening = jax.jit(_opening_impl)
-
-
-def _shifted_opening_impl(z, zw_ev, xvals, zeta_w):
-    S = lambda x: x[:, None]  # noqa: E731
-    denom = fr.inv(fr.sub(xvals, S(zeta_w)))
-    return fr.mul(fr.sub(z, S(zw_ev)), denom)
-
-
-_shifted_opening = jax.jit(_shifted_opening_impl)
+    w_z = fr.mul(acc, fr.inv(fr.sub(xvals, S(zeta))))
+    w_zw = fr.mul(
+        fr.sub(z, S(zw_ev)), fr.inv(fr.sub(xvals, S(zeta_w)))
+    )
+    w_z_coeffs = _coset_to_coeffs_impl(w_z, offset_inv, 4 * n)
+    w_zw_coeffs = _coset_to_coeffs_impl(w_zw, offset_inv, 4 * n)
+    both = jnp.stack([w_z_coeffs[:, :n], w_zw_coeffs[:, :n]], axis=1)
+    pts = _commit_many(pre, both, n, from_lagrange=False)
+    return pts, r_big, w_z_coeffs, w_zw_coeffs
 
 
 @functools.lru_cache(maxsize=None)
-def _coset_x_consts(n: int):
-    """Constants for X and Z_H on the 4n coset, parameterized by offset.
-
-    Returns (quarter_roots [16, 4n], w4_powers [16, 4n]) where w4 = q^n cycles
-    with period 4: X(i) = offset * q^i, Z_H(i) = offset^n * w4^i - 1.
-    """
-    q = pow(5, (FR_MOD - 1) // (4 * n), FR_MOD)
-    qr = []
-    cur = 1
-    for _ in range(4 * n):
-        qr.append(cur)
-        cur = cur * q % FR_MOD
-    w4 = pow(q, n, FR_MOD)
-    w4p = [pow(w4, i % 4, FR_MOD) for i in range(4 * n)]
-    return (
-        jnp.asarray(fr.to_mont_host_many(qr)),
-        jnp.asarray(fr.to_mont_host_many(w4p)),
-    )
-
-
-def _coset_x_impl(offset, offset_n, qroots, w4p):
-    """(X values, Z_H^-1 values) on the coset."""
-    xvals = fr.mul(offset[:, None], qroots)
-    one = jnp.asarray(fr.ONE_MONT)[:, None]
-    zh = fr.sub(fr.mul(offset_n[:, None], w4p), one)
-    return xvals, fr.inv(zh), zh
+def _round_jits(n: int):
+    qroots, w4p = _coset_x_consts(n)
+    qroots = jnp.asarray(qroots)
+    w4p = jnp.asarray(w4p)
+    roots = jnp.asarray(_ntt._roots_mont(n))
+    return {
+        "r1": jax.jit(functools.partial(_round1_kernel, n=n)),
+        "r2": jax.jit(
+            lambda pre, a, b, c, s1, s2, s3, beta, gamma: _round2_kernel(
+                pre, a, b, c, s1, s2, s3, roots, beta, gamma, n
+            )
+        ),
+        "r3": jax.jit(
+            lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
+                pre, polys, qroots, w4p, beta, gamma, alpha, off, offn, offi, n
+            )
+        ),
+        "r4": jax.jit(functools.partial(_round4_kernel, n=n)),
+        "r5": jax.jit(functools.partial(_round5_kernel, n=n)),
+    }
 
 
-_coset_x = jax.jit(_coset_x_impl)
+def _points_from_batch(pts, count: int):
+    """vmapped MSM output ((X,Y,Z) each [B, 16]) -> list of host affine."""
+    X, Y, Z = (np.asarray(c) for c in pts)
+    return [
+        jac_to_affine_host((X[i], Y[i], Z[i])) for i in range(count)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -293,11 +393,25 @@ class Prover:
         self.config = config or ProverConfig(debug_checks=debug)
         self.debug = self.config.debug_checks
         self.timings = Timings()
+        self._jits = _round_jits(self.group_order)
+        # Static per-circuit device stacks.
+        pk = self.pk
+        self._selector_stack = jnp.stack(
+            [
+                pk.QL.values, pk.QR.values, pk.QM.values, pk.QO.values,
+                pk.QC.values,
+            ],
+            axis=1,
+        )
+        self._s_stack = (pk.S1.values, pk.S2.values, pk.S3.values)
 
-    # -- scalars to device ------------------------------------------------
     @staticmethod
-    def _s(x: Fr):
+    def _s(x) -> jnp.ndarray:
         return jnp.asarray(fr.to_mont_host(int(x)))
+
+    @property
+    def _pre(self):
+        return self.setup.msm_engine.precomp_for(self.group_order)
 
     def prove(self, witness: dict) -> Proof:
         transcript = Transcript(b"plonk")
@@ -338,19 +452,22 @@ class Prover:
         if None not in witness:
             witness[None] = 0
         wires = self.program.wires()
-        pad = n - len(wires)
-        self.A = Polynomial(
-            [Fr(witness[w.L]) for w in wires] + [Fr(0)] * pad, Basis.LAGRANGE
-        )
-        self.B = Polynomial(
-            [Fr(witness[w.R]) for w in wires] + [Fr(0)] * pad, Basis.LAGRANGE
-        )
-        self.C = Polynomial(
-            [Fr(witness[w.O]) for w in wires] + [Fr(0)] * pad, Basis.LAGRANGE
-        )
-        a_1 = self.setup.commit(self.A)
-        b_1 = self.setup.commit(self.B)
-        c_1 = self.setup.commit(self.C)
+        pad = [0] * (n - len(wires))
+        col = lambda sel: [int(witness[sel(w)]) % FR_MOD for w in wires] + pad  # noqa: E731
+        abc = np.stack(
+            [
+                fr.to_mont_host_many(col(lambda w: w.L)),
+                fr.to_mont_host_many(col(lambda w: w.R)),
+                fr.to_mont_host_many(col(lambda w: w.O)),
+            ],
+            axis=1,
+        )  # [16, 3, n]
+        abc = jnp.asarray(abc)
+        self.A = Polynomial(abc[:, 0, :], Basis.LAGRANGE)
+        self.B = Polynomial(abc[:, 1, :], Basis.LAGRANGE)
+        self.C = Polynomial(abc[:, 2, :], Basis.LAGRANGE)
+        pts = self._jits["r1"](self._pre, abc)
+        a_1, b_1, c_1 = _points_from_batch(pts, 3)
 
         if self.debug:
             gate = (
@@ -366,174 +483,144 @@ class Prover:
 
     # -- round 2: permutation grand product ------------------------------
     def round_2(self) -> Message2:
-        n = self.group_order
-        roots = _roots_device(n)
-        f, g = _rlc_factors(
+        z_vals, z_last, pts = self._jits["r2"](
+            self._pre,
             self.A.values,
             self.B.values,
             self.C.values,
-            self.pk.S1.values,
-            self.pk.S2.values,
-            self.pk.S3.values,
-            roots,
+            *self._s_stack,
             self._s(self.beta),
             self._s(self.gamma),
         )
-        z_vals, z_last = _prefix_product(f, g)
         if self.debug:
-            assert fr.from_mont_host(z_last) == 1, "grand product does not close"
+            assert fr.from_mont_host(np.asarray(z_last)) == 1, (
+                "grand product does not close"
+            )
         self.Z = Polynomial(z_vals, Basis.LAGRANGE)
-        z_1 = self.setup.commit(self.Z)
+        (z_1,) = _points_from_batch(pts, 1)
         return Message2(z_1)
 
     # -- round 3: quotient polynomial ------------------------------------
     def round_3(self) -> Message3:
         n = self.group_order
         off = self.fft_cofactor
-        expand = lambda p: p.to_coset_extended_lagrange(off)  # noqa: E731
-
-        self.A_big = expand(self.A)
-        self.B_big = expand(self.B)
-        self.C_big = expand(self.C)
-        pi_big = expand(self.PI)
-        self.QL_big = expand(self.pk.QL)
-        self.QR_big = expand(self.pk.QR)
-        self.QM_big = expand(self.pk.QM)
-        self.QO_big = expand(self.pk.QO)
-        self.QC_big = expand(self.pk.QC)
-        self.Z_big = expand(self.Z)
-        zs_big = expand(self.Z.shift(1))
-        self.S1_big = expand(self.pk.S1)
-        self.S2_big = expand(self.pk.S2)
-        self.S3_big = expand(self.pk.S3)
-        l0_big = expand(
-            Polynomial([Fr(1)] + [Fr(0)] * (n - 1), Basis.LAGRANGE)
+        l0 = jnp.concatenate(
+            [
+                jnp.asarray(fr.ONE_MONT)[:, None],
+                jnp.zeros((NLIMBS, n - 1), dtype=jnp.uint32),
+            ],
+            axis=1,
         )
-
-        qroots, w4p = _coset_x_consts(n)
-        off_l = self._s(off)
-        off_n = self._s(off ** n)
-        self.X_big, zh_inv, zh_vals = _coset_x(off_l, off_n, qroots, w4p)
-
-        quot_vals = _quotient(
-            self.A_big.values, self.B_big.values, self.C_big.values,
-            pi_big.values,
-            self.QL_big.values, self.QR_big.values, self.QM_big.values,
-            self.QO_big.values, self.QC_big.values,
-            self.Z_big.values, zs_big.values,
-            self.S1_big.values, self.S2_big.values, self.S3_big.values,
-            l0_big.values, self.X_big, zh_inv,
-            self._s(self.beta), self._s(self.gamma), self._s(self.alpha),
+        polys = jnp.stack(
+            [
+                self.A.values, self.B.values, self.C.values, self.PI.values,
+            ],
+            axis=1,
         )
-        quot_big = Polynomial(quot_vals, Basis.LAGRANGE)
+        polys = jnp.concatenate(
+            [
+                polys,
+                self._selector_stack,
+                self.Z.values[:, None, :],
+                self.Z.shift(1).values[:, None, :],
+                jnp.stack(self._s_stack, axis=1),
+                l0[:, None, :],
+            ],
+            axis=1,
+        )  # [16, 15, n]
+        pts, t_lag, bigs, xvals, quot, qcoeffs = self._jits["r3"](
+            self._pre,
+            polys,
+            self._s(self.beta),
+            self._s(self.gamma),
+            self._s(self.alpha),
+            self._s(off),
+            self._s(off**n),
+            self._s(Fr(1) / off),
+        )
+        self._t_lag = t_lag
+        self._bigs = bigs
+        self._xvals = xvals
 
-        coeffs = quot_big.coset_extended_lagrange_to_coeffs(off)
         if self.debug:
-            tail = coeffs.to_ints()[3 * n :]
+            tail = fr.from_mont_host_many(np.asarray(qcoeffs[:, 3 * n :]))
             assert tail == [0] * n, "quotient degree >= 3n"
-
-        c_vals = coeffs.values
-        t1 = Polynomial(c_vals[:, :n], Basis.MONOMIAL)
-        t2 = Polynomial(c_vals[:, n : 2 * n], Basis.MONOMIAL)
-        t3 = Polynomial(c_vals[:, 2 * n : 3 * n], Basis.MONOMIAL)
-        # Keep Lagrange forms for round 5's coset re-expansion.
-        self.T1 = t1.fft()
-        self.T2 = t2.fft()
-        self.T3 = t3.fft()
-
-        if self.debug:
-            fc = off
+            t1 = Polynomial(t_lag[:, 0, :], Basis.LAGRANGE)
+            t2 = Polynomial(t_lag[:, 1, :], Basis.LAGRANGE)
+            t3 = Polynomial(t_lag[:, 2, :], Basis.LAGRANGE)
             lhs = (
-                self.T1.barycentric_eval(fc)
-                + self.T2.barycentric_eval(fc) * fc**n
-                + self.T3.barycentric_eval(fc) * fc ** (n * 2)
+                t1.barycentric_eval(off)
+                + t2.barycentric_eval(off) * off**n
+                + t3.barycentric_eval(off) * off ** (n * 2)
             )
-            assert lhs == Fr(fr.from_mont_host(quot_vals[:, 0])), "T split mismatch"
+            assert lhs == Fr(fr.from_mont_host(np.asarray(quot[:, 0]))), (
+                "T split mismatch"
+            )
 
-        t_lo_1 = self.setup.commit(t1)
-        t_mid_1 = self.setup.commit(t2)
-        t_hi_1 = self.setup.commit(t3)
+        t_lo_1, t_mid_1, t_hi_1 = _points_from_batch(pts, 3)
         return Message3(t_lo_1, t_mid_1, t_hi_1)
 
     # -- round 4: openings -------------------------------------------------
     def round_4(self) -> Message4:
+        n = self.group_order
         zeta = self.zeta
-        root = Fr.root_of_unity(self.group_order)
-        self.a_eval = self.A.barycentric_eval(zeta)
-        self.b_eval = self.B.barycentric_eval(zeta)
-        self.c_eval = self.C.barycentric_eval(zeta)
-        self.s1_eval = self.pk.S1.barycentric_eval(zeta)
-        self.s2_eval = self.pk.S2.barycentric_eval(zeta)
-        self.z_shifted_eval = self.Z.barycentric_eval(zeta * root)
-        return Message4(
-            self.a_eval,
-            self.b_eval,
-            self.c_eval,
-            self.s1_eval,
-            self.s2_eval,
-            self.z_shifted_eval,
+        root = Fr.root_of_unity(n)
+        values = jnp.stack(
+            [
+                self.A.values, self.B.values, self.C.values,
+                self._s_stack[0], self._s_stack[1],
+                self.Z.values,
+            ],
+            axis=1,
         )
+        xs = jnp.stack(
+            [self._s(zeta)] * 5 + [self._s(zeta * root)], axis=1
+        )
+        evs = self._jits["r4"](values, xs)
+        evals = [Fr(v) for v in fr.from_mont_host_many(np.asarray(evs))]
+        (
+            self.a_eval, self.b_eval, self.c_eval,
+            self.s1_eval, self.s2_eval, self.z_shifted_eval,
+        ) = evals
+        return Message4(*evals)
 
     # -- round 5: linearization + opening proofs --------------------------
     def round_5(self) -> Message5:
         n = self.group_order
         zeta = self.zeta
         root = Fr.root_of_unity(n)
+        off = self.fft_cofactor
         zh_ev = zeta**n - 1
         l0_ev = zh_ev / (n * (zeta - 1))
         pi_ev = self.PI.barycentric_eval(zeta)
 
-        off = self.fft_cofactor
-        t1_big = self.T1.to_coset_extended_lagrange(off)
-        t2_big = self.T2.to_coset_extended_lagrange(off)
-        t3_big = self.T3.to_coset_extended_lagrange(off)
-
-        r_vals = _linearization(
-            self.QL_big.values, self.QR_big.values, self.QM_big.values,
-            self.QO_big.values, self.QC_big.values,
-            self.Z_big.values, self.S3_big.values,
-            t1_big.values, t2_big.values, t3_big.values,
+        pts, r_big, w_z_coeffs, w_zw_coeffs = self._jits["r5"](
+            self._pre,
+            self._bigs,
+            self._t_lag,
+            self._xvals,
             self._s(self.a_eval), self._s(self.b_eval), self._s(self.c_eval),
             self._s(self.s1_eval), self._s(self.s2_eval),
             self._s(self.z_shifted_eval),
             self._s(pi_ev), self._s(l0_ev), self._s(zh_ev),
             self._s(zeta**n), self._s(zeta ** (2 * n)),
             self._s(self.beta), self._s(self.gamma), self._s(self.alpha),
-            self._s(zeta),
+            self._s(zeta), self._s(zeta * root), self._s(self.v),
+            self._s(off), self._s(Fr(1) / off),
         )
 
         if self.debug:
-            r_coeffs = Polynomial(r_vals, Basis.LAGRANGE).coset_extended_lagrange_to_coeffs(off)
+            r_coeffs = Polynomial(r_big, Basis.LAGRANGE).coset_extended_lagrange_to_coeffs(off)
             r_poly = Polynomial(r_coeffs.values[:, :n], Basis.MONOMIAL).fft()
             assert r_poly.barycentric_eval(zeta) == 0, "R(zeta) != 0"
+            assert fr.from_mont_host_many(np.asarray(w_z_coeffs[:, n:])) == [0] * (
+                3 * n
+            ), "W_z degree >= n"
+            assert fr.from_mont_host_many(np.asarray(w_zw_coeffs[:, n:])) == [0] * (
+                3 * n
+            ), "W_zw degree >= n"
 
-        w_z_vals = _opening(
-            r_vals,
-            self.A_big.values, self.B_big.values, self.C_big.values,
-            self.S1_big.values, self.S2_big.values,
-            self.X_big,
-            self._s(self.a_eval), self._s(self.b_eval), self._s(self.c_eval),
-            self._s(self.s1_eval), self._s(self.s2_eval),
-            self._s(self.v), self._s(zeta),
-        )
-        w_z_coeffs = Polynomial(w_z_vals, Basis.LAGRANGE).coset_extended_lagrange_to_coeffs(off)
-        if self.debug:
-            assert w_z_coeffs.to_ints()[n:] == [0] * (3 * n), "W_z degree >= n"
-        W_z = Polynomial(w_z_coeffs.values[:, :n], Basis.MONOMIAL)
-        W_z_1 = self.setup.commit(W_z)
-
-        w_zw_vals = _shifted_opening(
-            self.Z_big.values,
-            self._s(self.z_shifted_eval),
-            self.X_big,
-            self._s(zeta * root),
-        )
-        w_zw_coeffs = Polynomial(w_zw_vals, Basis.LAGRANGE).coset_extended_lagrange_to_coeffs(off)
-        if self.debug:
-            assert w_zw_coeffs.to_ints()[n:] == [0] * (3 * n), "W_zw degree >= n"
-        W_zw = Polynomial(w_zw_coeffs.values[:, :n], Basis.MONOMIAL)
-        W_zw_1 = self.setup.commit(W_zw)
-
+        W_z_1, W_zw_1 = _points_from_batch(pts, 2)
         return Message5(W_z_1, W_zw_1)
 
     # -- reference-compatible helpers -------------------------------------
