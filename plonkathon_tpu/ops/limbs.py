@@ -67,27 +67,22 @@ def decode_ints(arr) -> list[int]:
     ]
 
 
-@functools.lru_cache(maxsize=None)
-def _gather_indices(ncols: int):
-    """Static index maps for diagonal (column) sums of partial products.
+def _skew_rows(x, shift: int, ncols: int):
+    """Diagonal re-indexing: out[i, c] = x[i, c - i - shift] (else 0).
 
-    For products a_i * b_j: the lo half lands in column i+j, the hi half in
-    column i+j+1.  We pad the j axis to 2*NLIMBS+1 with a zero column at
-    index 2*NLIMBS and gather j = col - i (or col - i - 1), clamped onto the
-    zero column when out of range.
+    x: [R, W, *batch].  Row i is shifted right by i (+shift), landing each
+    partial-product row on its product column — done with one pad, two
+    reshapes, and a slice (a strided re-read of the flattened array), so the
+    whole skew is 4 static HLO ops: no per-row pads, no gathers (TPU gathers
+    on sublane axes are scalar-slow; this formulation avoids both).
     """
-    pad = 2 * NLIMBS  # index of the guaranteed-zero column
-    lo = np.full((NLIMBS, ncols), pad, dtype=np.int32)
-    hi = np.full((NLIMBS, ncols), pad, dtype=np.int32)
-    for i in range(NLIMBS):
-        for k in range(ncols):
-            j = k - i
-            if 0 <= j < NLIMBS:
-                lo[i, k] = j
-            j = k - i - 1
-            if 0 <= j < NLIMBS:
-                hi[i, k] = j
-    return lo, hi
+    r, w = x.shape[0], x.shape[1]
+    batch_pad = ((0, 0),) * (x.ndim - 2)
+    # Pad the column axis to ncols+1: `shift` zeros in front, the rest behind.
+    x = jnp.pad(x, ((0, 0), (shift, ncols + 1 - w - shift)) + batch_pad)
+    flat = x.reshape((r * (ncols + 1),) + x.shape[2:])
+    out = flat[: r * ncols].reshape((r, ncols) + x.shape[2:])
+    return out
 
 
 def _shift_up(x, s: int):
@@ -201,38 +196,22 @@ class FieldOps:
         """Raw column sums of the product (no carries), length `ncols`.
 
         a: [16, *A], b: [16, *B] broadcastable; columns < 2^22.  One
-        broadcast outer product, then each partial-product row is shifted to
-        its column offset with a static pad and the 32 rows reduce in a
-        balanced tree — pure vector ops (TPU gathers/scatter chains on
-        sublane axes are scalar-slow; this formulation avoids both).
+        broadcast outer product, a lo/hi split so column sums fit 32-bit
+        lanes, then each partial-product row lands on its product column
+        i+j via `_skew_rows` (pad + reshape, no gathers) and a single
+        reduction over the row axis — ~13 HLO ops per schoolbook, which
+        keeps traced round kernels small enough to compile fast.
         """
+        full = 2 * NLIMBS
         pp = a[:, None] * b[None, :]  # [16, 16, *batch]
         lo = pp & LIMB_MASK
         hi = pp >> LIMB_BITS
-        batch_pad = ((0, 0),) * (pp.ndim - 2)
-        rows = []
-        for i in range(NLIMBS):
-            jmax = min(NLIMBS, ncols - i)
-            if jmax > 0:
-                rows.append(
-                    jnp.pad(lo[i, :jmax], ((i, ncols - i - jmax),) + batch_pad)
-                )
-            jmax_hi = min(NLIMBS, ncols - i - 1)
-            if jmax_hi > 0:
-                rows.append(
-                    jnp.pad(
-                        hi[i, :jmax_hi],
-                        ((i + 1, ncols - i - 1 - jmax_hi),) + batch_pad,
-                    )
-                )
-        while len(rows) > 1:
-            paired = [
-                rows[k] + rows[k + 1] for k in range(0, len(rows) - 1, 2)
-            ]
-            if len(rows) % 2:
-                paired.append(rows[-1])
-            rows = paired
-        return rows[0]
+        cols = jnp.sum(
+            _skew_rows(lo, 0, full) + _skew_rows(hi, 1, full),
+            axis=0,
+            dtype=jnp.uint32,
+        )
+        return cols if ncols == full else cols[:ncols]
 
     def mul(self, a, b):
         """Montgomery product a*b*R^-1 mod p; lazy in/out domain [0, 2p)."""

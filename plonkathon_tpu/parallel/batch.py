@@ -27,12 +27,7 @@ from ..ops import ntt as _ntt
 from ..poly import Polynomial, Basis
 from ..prover import (
     Proof,
-    _round1_kernel,
-    _round2_kernel,
-    _round3_kernel,
-    _round4_kernel,
-    _round5_kernel,
-    _coset_x_consts,
+    _round_jits,
     _points_from_batch,
 )
 from ..transcript import (
@@ -43,44 +38,6 @@ from ..transcript import (
     Message4,
     Message5,
 )
-
-
-@functools.lru_cache(maxsize=None)
-def _batch_jits(n: int):
-    qroots, w4p = _coset_x_consts(n)
-    qroots = jnp.asarray(qroots)
-    w4p = jnp.asarray(w4p)
-    roots = jnp.asarray(_ntt._roots_mont(n))
-
-    r1 = jax.vmap(
-        lambda pre, abc: _round1_kernel(pre, abc, n), in_axes=(None, 0)
-    )
-    r2 = jax.vmap(
-        lambda pre, a, b, c, s1, s2, s3, beta, gamma: _round2_kernel(
-            pre, a, b, c, s1, s2, s3, roots, beta, gamma, n
-        ),
-        in_axes=(None, 0, 0, 0, None, None, None, 0, 0),
-    )
-    r3 = jax.vmap(
-        lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
-            pre, polys, qroots, w4p, beta, gamma, alpha, off, offn, offi, n
-        ),
-        in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
-    )
-    r4 = jax.vmap(lambda v, x: _round4_kernel(v, x, n), in_axes=(0, 0))
-    r5 = jax.vmap(
-        lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
-            pre, bigs, t_lag, xv, *scal, n=n
-        ),
-        in_axes=(None,) + (0,) * 22,
-    )
-    return {
-        "r1": jax.jit(r1),
-        "r2": jax.jit(r2),
-        "r3": jax.jit(r3),
-        "r4": jax.jit(r4),
-        "r5": jax.jit(r5),
-    }
 
 
 def _stack_scalars(values) -> jnp.ndarray:
@@ -100,7 +57,7 @@ class BatchProver:
         self.pk = program.common_preprocessed_input()
         self.mesh = mesh
         self.axis = axis
-        self._jits = _batch_jits(self.group_order)
+        self._jits = _round_jits(self.group_order)
         pk = self.pk
         self._selector_stack = jnp.stack(
             [pk.QL.values, pk.QR.values, pk.QM.values, pk.QO.values, pk.QC.values],

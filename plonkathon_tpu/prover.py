@@ -342,24 +342,47 @@ def _round5_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _round_jits(n: int):
+    """The five fused round kernels for group order n, vmapped over a
+    leading batch axis.
+
+    One compile set serves both the single prover (batch 1) and the
+    batch-parallel prover (parallel/batch.py) — round kernels are the
+    heaviest XLA modules in the framework, so sharing the executables
+    halves compile time and the persistent-cache footprint.
+    """
     qroots, w4p = _coset_x_consts(n)
     qroots = jnp.asarray(qroots)
     w4p = jnp.asarray(w4p)
     roots = jnp.asarray(_ntt._roots_mont(n))
+
+    r1 = jax.vmap(
+        lambda pre, abc: _round1_kernel(pre, abc, n), in_axes=(None, 0)
+    )
+    r2 = jax.vmap(
+        lambda pre, a, b, c, s1, s2, s3, beta, gamma: _round2_kernel(
+            pre, a, b, c, s1, s2, s3, roots, beta, gamma, n
+        ),
+        in_axes=(None, 0, 0, 0, None, None, None, 0, 0),
+    )
+    r3 = jax.vmap(
+        lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
+            pre, polys, qroots, w4p, beta, gamma, alpha, off, offn, offi, n
+        ),
+        in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
+    )
+    r4 = jax.vmap(lambda v, x: _round4_kernel(v, x, n), in_axes=(0, 0))
+    r5 = jax.vmap(
+        lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
+            pre, bigs, t_lag, xv, *scal, n=n
+        ),
+        in_axes=(None,) + (0,) * 22,
+    )
     return {
-        "r1": jax.jit(functools.partial(_round1_kernel, n=n)),
-        "r2": jax.jit(
-            lambda pre, a, b, c, s1, s2, s3, beta, gamma: _round2_kernel(
-                pre, a, b, c, s1, s2, s3, roots, beta, gamma, n
-            )
-        ),
-        "r3": jax.jit(
-            lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
-                pre, polys, qroots, w4p, beta, gamma, alpha, off, offn, offi, n
-            )
-        ),
-        "r4": jax.jit(functools.partial(_round4_kernel, n=n)),
-        "r5": jax.jit(functools.partial(_round5_kernel, n=n)),
+        "r1": jax.jit(r1),
+        "r2": jax.jit(r2),
+        "r3": jax.jit(r3),
+        "r4": jax.jit(r4),
+        "r5": jax.jit(r5),
     }
 
 
@@ -407,7 +430,8 @@ class Prover:
 
     @staticmethod
     def _s(x) -> jnp.ndarray:
-        return jnp.asarray(fr.to_mont_host(int(x)))
+        """Fr -> [1, 16] Montgomery limbs (batch-of-one for the round jits)."""
+        return jnp.asarray(fr.to_mont_host(int(x)))[None]
 
     @property
     def _pre(self):
@@ -466,8 +490,8 @@ class Prover:
         self.A = Polynomial(abc[:, 0, :], Basis.LAGRANGE)
         self.B = Polynomial(abc[:, 1, :], Basis.LAGRANGE)
         self.C = Polynomial(abc[:, 2, :], Basis.LAGRANGE)
-        pts = self._jits["r1"](self._pre, abc)
-        a_1, b_1, c_1 = _points_from_batch(pts, 3)
+        pts = self._jits["r1"](self._pre, abc[None])
+        a_1, b_1, c_1 = _points_from_batch(tuple(c[0] for c in pts), 3)
 
         if self.debug:
             gate = (
@@ -485,19 +509,19 @@ class Prover:
     def round_2(self) -> Message2:
         z_vals, z_last, pts = self._jits["r2"](
             self._pre,
-            self.A.values,
-            self.B.values,
-            self.C.values,
+            self.A.values[None],
+            self.B.values[None],
+            self.C.values[None],
             *self._s_stack,
             self._s(self.beta),
             self._s(self.gamma),
         )
         if self.debug:
-            assert fr.from_mont_host(np.asarray(z_last)) == 1, (
+            assert fr.from_mont_host(np.asarray(z_last[0])) == 1, (
                 "grand product does not close"
             )
-        self.Z = Polynomial(z_vals, Basis.LAGRANGE)
-        (z_1,) = _points_from_batch(pts, 1)
+        self.Z = Polynomial(z_vals[0], Basis.LAGRANGE)
+        (z_1,) = _points_from_batch(tuple(c[0] for c in pts), 1)
         return Message2(z_1)
 
     # -- round 3: quotient polynomial ------------------------------------
@@ -530,7 +554,7 @@ class Prover:
         )  # [16, 15, n]
         pts, t_lag, bigs, xvals, quot, qcoeffs = self._jits["r3"](
             self._pre,
-            polys,
+            polys[None],
             self._s(self.beta),
             self._s(self.gamma),
             self._s(self.alpha),
@@ -543,21 +567,21 @@ class Prover:
         self._xvals = xvals
 
         if self.debug:
-            tail = fr.from_mont_host_many(np.asarray(qcoeffs[:, 3 * n :]))
+            tail = fr.from_mont_host_many(np.asarray(qcoeffs[0][:, 3 * n :]))
             assert tail == [0] * n, "quotient degree >= 3n"
-            t1 = Polynomial(t_lag[:, 0, :], Basis.LAGRANGE)
-            t2 = Polynomial(t_lag[:, 1, :], Basis.LAGRANGE)
-            t3 = Polynomial(t_lag[:, 2, :], Basis.LAGRANGE)
+            t1 = Polynomial(t_lag[0][:, 0, :], Basis.LAGRANGE)
+            t2 = Polynomial(t_lag[0][:, 1, :], Basis.LAGRANGE)
+            t3 = Polynomial(t_lag[0][:, 2, :], Basis.LAGRANGE)
             lhs = (
                 t1.barycentric_eval(off)
                 + t2.barycentric_eval(off) * off**n
                 + t3.barycentric_eval(off) * off ** (n * 2)
             )
-            assert lhs == Fr(fr.from_mont_host(np.asarray(quot[:, 0]))), (
+            assert lhs == Fr(fr.from_mont_host(np.asarray(quot[0][:, 0]))), (
                 "T split mismatch"
             )
 
-        t_lo_1, t_mid_1, t_hi_1 = _points_from_batch(pts, 3)
+        t_lo_1, t_mid_1, t_hi_1 = _points_from_batch(tuple(c[0] for c in pts), 3)
         return Message3(t_lo_1, t_mid_1, t_hi_1)
 
     # -- round 4: openings -------------------------------------------------
@@ -574,10 +598,10 @@ class Prover:
             axis=1,
         )
         xs = jnp.stack(
-            [self._s(zeta)] * 5 + [self._s(zeta * root)], axis=1
+            [self._s(zeta)[0]] * 5 + [self._s(zeta * root)[0]], axis=1
         )
-        evs = self._jits["r4"](values, xs)
-        evals = [Fr(v) for v in fr.from_mont_host_many(np.asarray(evs))]
+        evs = self._jits["r4"](values[None], xs[None])
+        evals = [Fr(v) for v in fr.from_mont_host_many(np.asarray(evs[0]))]
         (
             self.a_eval, self.b_eval, self.c_eval,
             self.s1_eval, self.s2_eval, self.z_shifted_eval,
@@ -610,17 +634,17 @@ class Prover:
         )
 
         if self.debug:
-            r_coeffs = Polynomial(r_big, Basis.LAGRANGE).coset_extended_lagrange_to_coeffs(off)
+            r_coeffs = Polynomial(r_big[0], Basis.LAGRANGE).coset_extended_lagrange_to_coeffs(off)
             r_poly = Polynomial(r_coeffs.values[:, :n], Basis.MONOMIAL).fft()
             assert r_poly.barycentric_eval(zeta) == 0, "R(zeta) != 0"
-            assert fr.from_mont_host_many(np.asarray(w_z_coeffs[:, n:])) == [0] * (
+            assert fr.from_mont_host_many(np.asarray(w_z_coeffs[0][:, n:])) == [0] * (
                 3 * n
             ), "W_z degree >= n"
-            assert fr.from_mont_host_many(np.asarray(w_zw_coeffs[:, n:])) == [0] * (
+            assert fr.from_mont_host_many(np.asarray(w_zw_coeffs[0][:, n:])) == [0] * (
                 3 * n
             ), "W_zw degree >= n"
 
-        W_z_1, W_zw_1 = _points_from_batch(pts, 2)
+        W_z_1, W_zw_1 = _points_from_batch(tuple(c[0] for c in pts), 2)
         return Message5(W_z_1, W_zw_1)
 
     # -- reference-compatible helpers -------------------------------------
