@@ -281,7 +281,12 @@ def _msm_kernel(preX, preY, preZ, digits):
         nZ = fq.select(fresh, pz, sZ)
         return (nX, nY, nZ), (nX, nY, nZ)
 
-    _, (pX, pY, pZ) = jax.lax.scan(body, jac_identity((nchunks,)), xs)
+    # Seed the carry from the (possibly shard-varying) inputs so its type
+    # matches the body output under shard_map (JAX 0.9 vma checking): a
+    # constant-seeded carry is "unvarying" and scan rejects the mismatch.
+    anchor = Zs[:, :, 0] * jnp.uint32(0)
+    init = tuple(c + anchor for c in jac_identity((nchunks,)))
+    _, (pX, pY, pZ) = jax.lax.scan(body, init, xs)
 
     # Run ends (within each chunk) -> one bulk scatter into chunk buckets.
     ends = jnp.concatenate(

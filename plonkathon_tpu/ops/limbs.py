@@ -244,6 +244,9 @@ class FieldOps:
         one = jnp.broadcast_to(
             jnp.asarray(self.ONE_MONT)[(...,) + (None,) * (a.ndim - 1)], a.shape
         ).astype(jnp.uint32)
+        # Inherit `a`'s varying-manual-axes type so the scan carry matches
+        # the body output under shard_map (JAX 0.9 vma checking).
+        one = one + a * jnp.uint32(0)
 
         def body(acc, bit):
             acc = self.mul(acc, acc)

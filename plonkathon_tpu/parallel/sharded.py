@@ -46,17 +46,19 @@ def sharded_msm(mesh: Mesh, axis: str, bases, digits):
         shard_map,
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis), P(axis)),
-        out_specs=(P(None), P(None), P(None)),
+        out_specs=(P(None, axis), P(None, axis), P(None, axis)),
     )
     def kernel(x, y, z, d):
-        local = _msm_kernel(x, y, z, d)
-        gx = jax.lax.all_gather(local[0], axis, axis=1)  # [16, D]
-        gy = jax.lax.all_gather(local[1], axis, axis=1)
-        gz = jax.lax.all_gather(local[2], axis, axis=1)
-        return jac_fold_sum((gx, gy, gz))
+        # Per-device partial MSM; the cross-device fold happens outside the
+        # shard_map (D points — negligible), which keeps the output types
+        # honest under JAX 0.9 vma checking (a folded all_gather result is
+        # value-replicated but still *typed* as device-varying).
+        lx, ly, lz = _msm_kernel(x, y, z, d)
+        return lx[:, None], ly[:, None], lz[:, None]
 
     x, y, z = bases
-    return jax.jit(kernel)(x, y, z, digits)
+    partials = jax.jit(kernel)(x, y, z, digits)  # each [16, D]
+    return jax.jit(jac_fold_sum)(partials)
 
 
 # ---------------------------------------------------------------------------
