@@ -41,6 +41,103 @@ class Setup:
         return self._msm
 
     @classmethod
+    def generate(
+        cls, powers: int, tau: int = 0xDEADBEEF1337, srs_cache: str | None = None
+    ) -> "Setup":
+        """Synthetic known-tau SRS for tests/benchmarks (NOT a trusted setup).
+
+        Unlocks circuit sizes beyond the 2^11 ceremony fixture (the reference
+        is capped by its ptau file, setup.py:27 / README.md:166).  Points are
+        computed on-device: digits of tau^i select from a small host-built
+        window table of multiples of G, a log-depth fold sums the 32 windows
+        per point, and a batched inversion converts to affine.
+        """
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from .fields import FR_MOD
+        from .ec import pt_add, pt_mul
+        from .ops.limbs import fq as _fq
+        from .ops import curve as _curve
+        from .ops.msm2 import affine_from_jacobian
+
+        cache_file = f"{srs_cache}.gen{powers}.npz" if srs_cache else None
+        if cache_file is not None:
+            try:
+                data = np.load(cache_file)
+                if int(data["n"]) == powers and int(data["tau"]) == tau % FR_MOD:
+                    xs = _fq.from_mont_host_many(data["ax"])
+                    ys = _fq.from_mont_host_many(data["ay"])
+                    pts = [(Fq(a), Fq(b)) for a, b in zip(xs, ys)]
+                    return cls(pts, pt_mul(G2, tau % FR_MOD), srs_cache=srs_cache)
+            except (OSError, KeyError, ValueError):
+                pass
+
+        tau = tau % FR_MOD
+        # Host window table: T[w][b] = (b * 2^(8w)) * G, w<32, b<256.
+        base = G1
+        table = []
+        for w in range(32):
+            row = [None, base]
+            acc = base
+            for _ in range(254):
+                acc = pt_add(acc, base)
+                row.append(acc)
+            table.append(row)
+            for _ in range(8):
+                base = pt_add(base, base)
+        flat = []
+        for w in range(32):
+            for b in range(256):
+                flat.append(table[w][b] if b else G1)  # b=0 masked below
+        tx, ty = _curve.points_to_device(flat)
+
+        # Digits of tau^i, window-major per point.
+        taus = []
+        cur = 1
+        for _ in range(powers):
+            taus.append(cur)
+            cur = cur * tau % FR_MOD
+        dig = np.frombuffer(
+            b"".join(t.to_bytes(32, "little") for t in taus), dtype=np.uint8
+        ).reshape(powers, 32).astype(np.int32)
+
+        idx = jnp.asarray(dig + np.arange(32)[None, :] * 256)  # [n, 32]
+        gx = tx[:, idx]  # [16, n, 32]
+        gy = ty[:, idx]
+        flag = jnp.asarray((dig != 0).astype(np.uint32))  # [n, 32]
+        one = jnp.asarray(_fq.ONE_MONT)[:, None, None]
+        gz = (one * flag[None]).astype(jnp.uint32)
+
+        cur = (gx, gy, gz)
+        width = 32
+        add_fn = _curve.jac_add
+        if jax.default_backend() == "tpu":
+            from .ops import pallas_mont as _pm
+
+            add_fn = _pm.jac_add
+        while width > 1:
+            half = width // 2
+            cur = add_fn(
+                tuple(c[..., :half] for c in cur),
+                tuple(c[..., half:width] for c in cur),
+            )
+            width = half
+        ax, ay = affine_from_jacobian(*cur)
+        ax = np.asarray(_fq.canon(ax))
+        ay = np.asarray(_fq.canon(ay))
+        xs = _fq.from_mont_host_many(ax)
+        ys = _fq.from_mont_host_many(ay)
+        pts = [(Fq(a), Fq(b)) for a, b in zip(xs, ys)]
+        assert pts[0] == G1, "synthetic SRS sanity: tau^0 * G must be G"
+        if cache_file is not None:
+            try:
+                np.savez(cache_file, n=powers, tau=tau, ax=ax, ay=ay)
+            except OSError:
+                pass
+        return cls(pts, pt_mul(G2, tau), srs_cache=srs_cache)
+
+    @classmethod
     def from_file(cls, filename: str, srs_cache: str | None = None) -> "Setup":
         contents = open(filename, "rb").read()
         powers = 2 ** contents[_POWERS_BYTE]
@@ -64,6 +161,13 @@ class Setup:
             if int.from_bytes(contents[pos : pos + 32], "little") == target:
                 break
             pos += 1
+        else:
+            raise ValueError(
+                f"{filename}: G2 generator block not found — truncated or "
+                "malformed .ptau file"
+            )
+        if pos + 32 * 8 > len(contents):
+            raise ValueError(f"{filename}: .ptau file ends inside the G2 block")
         enc = contents[pos + 32 * 4 : pos + 32 * 8]
         vals = [
             (Fq(int.from_bytes(enc[i : i + 32], "little")) * inv_factor).n

@@ -51,10 +51,11 @@ def load_keccak():
             fn.argtypes = [ctypes.c_char_p]
             fn.restype = None
 
-            buf = ctypes.create_string_buffer(200)
-
             def permute(state: bytearray) -> None:
-                buf.raw = bytes(state)
+                # Per-call buffer: the wrapper is used from batch host loops
+                # that may be threaded; a shared module-level buffer would
+                # race between concurrent transcripts.
+                buf = ctypes.create_string_buffer(bytes(state), 200)
                 fn(buf)
                 state[:] = buf.raw[:200]
 

@@ -319,9 +319,14 @@ _msm_jit = jax.jit(_msm_kernel)
 class FixedBaseMSM:
     """Fixed-base MSM context over the SRS G1 powers (the KZG commit engine).
 
-    Precomputes shifted bases once per setup; each commit is then one sort
-    plus log-depth scans on device.  Plays the role of reference
-    setup.py:66-72's `commit` linear combination.
+    Precomputes shifted window bases once per setup; each commit is then one
+    sort plus a Pallas bucket run-scan on device.  Plays the role of
+    reference setup.py:66-72's `commit` linear combination.
+
+    Two execution paths, chosen by backend at construction:
+    * TPU: affine window tables + ops/msm2 Pallas pipeline (fast path).
+    * CPU (tests / virtual meshes): Jacobian tables + the XLA sorted
+      run-scan `_msm_kernel` (bit-identical results, no Mosaic dependency).
     """
 
     def __init__(self, points, cache_path: str | None = None):
@@ -332,39 +337,84 @@ class FixedBaseMSM:
         precompute is ~256 point doublings per base otherwise).
         """
         self.n = len(points)
-        if cache_path is not None:
+        self._points = points
+        self.cache_path = cache_path
+        self.use_pallas = jax.default_backend() == "tpu"
+        self.precomp = None      # Jacobian tables (XLA path)
+        self.affine_tab = None   # (tabx, taby) affine tables (Pallas path)
+        if self.use_pallas:
+            self._build_affine()
+        else:
+            self._build_jacobian()
+
+    def _build_jacobian(self):
+        if self.precomp is not None:
+            return
+        if self.cache_path is not None:
             try:
-                data = np.load(cache_path)
-                if int(data["n"]) == self.n:
+                data = np.load(self.cache_path)
+                if int(data["n"]) == self.n and "Z" in data:
                     self.precomp = tuple(
                         jax.device_put(jnp.asarray(data[k])) for k in ("X", "Y", "Z")
                     )
                     return
             except (OSError, KeyError, ValueError):
                 pass
-        x, y = points_to_device(points)
+        x, y = points_to_device(self._points)
         self.precomp = tuple(
             jax.device_put(c) for c in _window_precompute(x, y)
         )
-        if cache_path is not None:
+        if self.cache_path is not None:
             try:
                 X, Y, Z = (np.asarray(c) for c in self.precomp)
-                np.savez(cache_path, n=self.n, X=X, Y=Y, Z=Z)
+                np.savez(self.cache_path, n=self.n, X=X, Y=Y, Z=Z)
+            except OSError:
+                pass
+
+    def _build_affine(self):
+        if self.affine_tab is not None:
+            return
+        from . import msm2
+
+        cache = self.cache_path + ".affine.npz" if self.cache_path else None
+        if cache is not None:
+            try:
+                data = np.load(cache)
+                if int(data["n"]) == self.n:
+                    self.affine_tab = tuple(
+                        jax.device_put(jnp.asarray(data[k])) for k in ("AX", "AY")
+                    )
+                    return
+            except (OSError, KeyError, ValueError):
+                pass
+        x, y = points_to_device(self._points)
+        self.affine_tab = tuple(
+            jax.device_put(c) for c in msm2.build_affine_tables(x, y)
+        )
+        if cache is not None:
+            try:
+                ax, ay = (np.asarray(c) for c in self.affine_tab)
+                np.savez(cache, n=self.n, AX=ax, AY=ay)
             except OSError:
                 pass
 
     def precomp_for(self, m: int):
-        """Window tables restricted to the first m bases (public API)."""
+        """Jacobian window tables restricted to the first m bases."""
+        self._build_jacobian()
         return self._bases_for(m)
+
+    def _slice_idx(self, m: int):
+        return jnp.asarray(
+            (
+                np.arange(NWINDOWS)[:, None] * self.n + np.arange(m)[None, :]
+            ).reshape(-1)
+        )
 
     def _bases_for(self, m: int):
         if m == self.n:
             return self.precomp
         X, Y, Z = self.precomp
-        idx = (
-            np.arange(NWINDOWS)[:, None] * self.n + np.arange(m)[None, :]
-        ).reshape(-1)
-        idx = jnp.asarray(idx)
+        idx = self._slice_idx(m)
         return (X[:, idx], Y[:, idx], Z[:, idx])
 
     def msm_mont(self, coeffs_mont):
@@ -372,6 +422,16 @@ class FixedBaseMSM:
         m = coeffs_mont.shape[-1]
         assert m <= self.n, "polynomial degree exceeds SRS size"
         digits = _coeff_digits(coeffs_mont)  # [32 * m] window-major
+        if self.use_pallas and 32 * m >= 8192:
+            from . import msm2
+
+            tabx, taby = self.affine_tab
+            if m != self.n:
+                idx = self._slice_idx(m)
+                tabx, taby = tabx[:, idx], taby[:, idx]
+            res = msm2.msm_fixed_affine(tabx, taby, digits)
+            return (res[:NLIMBS], res[NLIMBS : 2 * NLIMBS], res[2 * NLIMBS :])
+        self._build_jacobian()
         preX, preY, preZ = self._bases_for(m)
         return _msm_jit(preX, preY, preZ, digits)
 

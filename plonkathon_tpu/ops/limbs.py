@@ -67,6 +67,21 @@ def decode_ints(arr) -> list[int]:
     ]
 
 
+_PALLAS_MIN_WIDTH = 1024
+
+
+def _pallas_width_ok(a, b) -> bool:
+    """Route to the Pallas multiply kernel? (TPU backend + wide batch.)"""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    w = 1
+    for d in np.broadcast_shapes(a.shape[1:], b.shape[1:]):
+        w *= d
+    return w >= _PALLAS_MIN_WIDTH
+
+
 def _skew_rows(x, shift: int, ncols: int):
     """Diagonal re-indexing: out[i, c] = x[i, c - i - shift] (else 0).
 
@@ -214,7 +229,22 @@ class FieldOps:
         return cols if ncols == full else cols[:ncols]
 
     def mul(self, a, b):
-        """Montgomery product a*b*R^-1 mod p; lazy in/out domain [0, 2p)."""
+        """Montgomery product a*b*R^-1 mod p; lazy in/out domain [0, 2p).
+
+        On a TPU backend, wide batches route to the fused Pallas kernel
+        (ops/pallas_mont.py) — the XLA schoolbook below materializes a
+        [16, 33, W] skew temp in HBM and is ~50-100x slower at width; it
+        remains the CPU-testable bit-identical fallback.
+        """
+        if _pallas_width_ok(a, b):
+            from . import pallas_mont
+
+            return pallas_mont.mont_mul(
+                "fq" if self.modulus == pallas_mont.fq.modulus else "fr", a, b
+            )
+        return self._mul_xla(a, b)
+
+    def _mul_xla(self, a, b):
         tcols = self._mul_columns(a, b, 2 * NLIMBS)  # [32, *]
         tlo = self._carry_norm(tcols[:NLIMBS])
         np_ = jnp.asarray(self.NPRIME)[(...,) + (None,) * (tlo.ndim - 1)]

@@ -51,22 +51,64 @@ def _domain(n: int, inverse: bool):
     return rev, stages, n_inv_mont
 
 
+@functools.lru_cache(maxsize=None)
+def _scan_tables(n: int, inverse: bool):
+    """Uniform per-position stage tables so the stage loop is a `lax.scan`.
+
+    For every position j of stage s: the odd-operand index, the even-operand
+    index, the twiddle at j, and whether j is the subtracting (high) slot.
+    This trades 2x the Montgomery multiplies (the product tw*odd is computed
+    at both slots of a butterfly) for a stage-uniform body — the whole NTT
+    traces as ONE scan body instead of log2(n) unrolled stages, which is
+    what keeps the fused prover kernels compilable (a round-1 n=8 prove
+    spent ~3 minutes in XLA compilation, dominated by inlined NTT stages).
+    """
+    rev, stages, n_inv = _domain(n, inverse)
+    bits = n.bit_length() - 1
+    odd_idx = np.empty((bits, n), dtype=np.int32)
+    even_idx = np.empty((bits, n), dtype=np.int32)
+    tw_pos = np.empty((bits, NLIMBS, n), dtype=np.uint32)
+    is_hi = np.empty((bits, n), dtype=bool)
+    for s in range(1, bits + 1):
+        half = 1 << (s - 1)
+        m = 2 * half
+        j = np.arange(n)
+        pos_in_block = j % m
+        block_base = j - pos_in_block
+        hi = pos_in_block >= half
+        k = np.where(hi, pos_in_block - half, pos_in_block)
+        even_idx[s - 1] = block_base + k
+        odd_idx[s - 1] = block_base + k + half
+        tw_pos[s - 1] = stages[s - 1][:, k]
+        is_hi[s - 1] = hi
+    return rev, odd_idx, even_idx, tw_pos, is_hi, n_inv
+
+
 def _ntt_impl(values, n: int, inverse: bool):
     """values: uint32[16, *batch, n] (Montgomery); transforms the last axis."""
-    rev, stages, n_inv = _domain(n, inverse)
+    if n == 1:
+        return values
+    rev, odd_idx, even_idx, tw_pos, is_hi, n_inv = _scan_tables(n, inverse)
     a = jnp.take(values, jnp.asarray(rev), axis=-1)
     batch = values.shape[1:-1]
     nb = len(batch)
-    for s, tw in enumerate(stages, start=1):
-        half = 1 << (s - 1)
-        blocks = n // (2 * half)
-        a = a.reshape((NLIMBS,) + batch + (blocks, 2, half))
-        even = a[..., 0, :]
-        odd = a[..., 1, :]
-        twd = jnp.asarray(tw).reshape((NLIMBS,) + (1,) * (nb + 1) + (half,))
-        t = fr.mul(odd, twd)
-        a = jnp.stack([fr.add(even, t), fr.sub(even, t)], axis=-2)
-        a = a.reshape((NLIMBS,) + batch + (n,))
+
+    def stage(acc, tabs):
+        oi, ei, tw, hi = tabs
+        ov = jnp.take(acc, oi, axis=-1)
+        ev = jnp.take(acc, ei, axis=-1)
+        twd = tw.reshape((NLIMBS,) + (1,) * nb + (n,))
+        t = fr.mul(ov, twd)
+        out = jnp.where(hi, fr.sub(ev, t), fr.add(ev, t))
+        return out, None
+
+    tabs = (
+        jnp.asarray(odd_idx),
+        jnp.asarray(even_idx),
+        jnp.asarray(tw_pos),
+        jnp.asarray(is_hi),
+    )
+    a, _ = jax.lax.scan(stage, a, tabs)
     if inverse:
         ninv = jnp.asarray(n_inv).reshape((NLIMBS,) + (1,) * (nb + 1))
         a = fr.mul(a, ninv)

@@ -1,0 +1,477 @@
+"""Pallas TPU kernels for 256-bit Montgomery field arithmetic and G1 ops.
+
+Why this exists: the pure-XLA limb schoolbook (ops/limbs.py) materializes a
+[16, 33, W] skewed partial-product tensor in HBM for every field multiply —
+a ~70x traffic blowup that makes every hot op memory-bound (measured
+~6.7M fq-muls/s on a v5e chip, with jac_add at ~0.3M/s).  These kernels keep
+the entire schoolbook + Montgomery reduction + carry chains in VMEM:
+HBM traffic collapses to exactly inputs+outputs and the multiply becomes
+VPU-compute-bound.
+
+Design notes
+* An element is 16 little-endian 16-bit limbs in uint32 lanes (same wire
+  format as ops/limbs.py — kernels are bit-compatible with the XLA path and
+  cross-checked against it in tests/bench).
+* In-kernel, a field element is a Python *list* of 16 [R, 128]-shaped u32
+  arrays: limb index is static (list position), so carry propagation and the
+  16x16 product skew are static list re-indexing — zero roll/gather ops.
+* Batch layout: callers pass [16, W]; wrappers reshape to [16, W/128, 128]
+  and tile the middle axis with the grid, so every vector op fills full
+  (8, 128) vregs.
+* Point kernels (jac_add / jac_madd / jac_double) fuse their ~16 field
+  multiplies into one kernel: intermediates never leave VMEM.
+
+Replaces the hot paths of reference curve.py:30-111 (EC lincomb) and
+poly.py:113-148 (FFT butterfliy arithmetic); the XLA implementations remain
+as the CPU-testable fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limbs import fq, fr, NLIMBS, LIMB_MASK, LIMB_BITS
+
+# Rows of 128 lanes processed per grid step (R*128 lanes per block).
+_R = 8
+_LANES = 128
+_BLOCK = _R * _LANES
+
+
+def _const_lists(ops):
+    """Static per-limb Python ints for a FieldOps instance."""
+    return {
+        "P": [int(v) for v in ops.P],
+        "NPRIME": [int(v) for v in ops.NPRIME],
+        "P2": [int(v) for v in ops.P2],
+        "ONE": [int(v) for v in ops.ONE_MONT],
+    }
+
+
+_FQ_CONST = _const_lists(fq)
+_FR_CONST = _const_lists(fr)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel limb algebra on lists of [R, 128] u32 arrays.
+# ---------------------------------------------------------------------------
+
+def _carry(cols):
+    """Raw column sums (< 2^22 each) -> canonical 16-bit limbs mod 2^(16*K).
+
+    Deferred-carry fold then a Kogge-Stone generate/propagate prefix; limb
+    motion is static list indexing.
+    """
+    k = len(cols)
+    s = [c & LIMB_MASK for c in cols]
+    c = [c >> LIMB_BITS for c in cols]
+    u = [s[0]] + [s[i] + c[i - 1] for i in range(1, k)]
+    g = [x >> LIMB_BITS != 0 for x in u]  # bool
+    p = [(x & LIMB_MASK) == LIMB_MASK for x in u]
+    step = 1
+    while step < k:
+        g = [
+            g[i] if i < step else g[i] | (p[i] & g[i - step])
+            for i in range(k)
+        ]
+        p = [p[i] & p[i - step] if i >= step else p[i] for i in range(k)]
+        step *= 2
+    out = [u[0] & LIMB_MASK]
+    for i in range(1, k):
+        out.append((u[i] + g[i - 1].astype(jnp.uint32)) & LIMB_MASK)
+    return out
+
+
+def _mul_cols(a, b, ncols=2 * NLIMBS):
+    """Schoolbook column sums of a*b (lists of 16-bit limbs); cols < 2^22."""
+    cols = [None] * ncols
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            if i + j >= ncols:
+                continue
+            pp = a[i] * b[j]
+            lo = pp & LIMB_MASK
+            cols[i + j] = lo if cols[i + j] is None else cols[i + j] + lo
+            if i + j + 1 < ncols:
+                hi = pp >> LIMB_BITS
+                cols[i + j + 1] = (
+                    hi if cols[i + j + 1] is None else cols[i + j + 1] + hi
+                )
+    zero = jnp.zeros_like(a[0])
+    return [zero if c is None else c for c in cols]
+
+
+def _const_limbs(vals, like):
+    """Static int limb list -> broadcast kernel constants (u32)."""
+    return [jnp.full_like(like, np.uint32(v)) for v in vals]
+
+
+def _sub_limbs(a, b):
+    """(a - b) mod 2^256 with borrow flag (Kogge-Stone borrow prefix)."""
+    k = len(a)
+    g = [a[i] < b[i] for i in range(k)]
+    p = [a[i] == b[i] for i in range(k)]
+    step = 1
+    while step < k:
+        g = [
+            g[i] if i < step else g[i] | (p[i] & g[i - step])
+            for i in range(k)
+        ]
+        p = [p[i] & p[i - step] if i >= step else p[i] for i in range(k)]
+        step *= 2
+    res = [(a[0] - b[0]) & LIMB_MASK]
+    for i in range(1, k):
+        res.append((a[i] - b[i] - g[i - 1].astype(jnp.uint32)) & LIMB_MASK)
+    return res, g[k - 1]
+
+
+def _cond_sub_const(s, mod_vals):
+    """Subtract the constant modulus once if s >= mod (list in/out)."""
+    m = _const_limbs(mod_vals, s[0])
+    d, borrow = _sub_limbs(s, m)
+    return [jnp.where(borrow, s[i], d[i]) for i in range(len(s))]
+
+
+class _K:
+    """Field-specific in-kernel ops (lists of [R,128] u32 limb arrays)."""
+
+    def __init__(self, const):
+        self.c = const
+
+    def mul(self, a, b):
+        """Montgomery product; lazy domain [0, 2p) in/out."""
+        t = _mul_cols(a, b)  # 32 raw cols
+        tlo = _carry(t[:NLIMBS])
+        m = _carry(_mul_cols(tlo, _const_limbs(self.c["NPRIME"], a[0]), NLIMBS))
+        mp = _mul_cols(m, _const_limbs(self.c["P"], a[0]))
+        total = _carry([t[i] + mp[i] for i in range(2 * NLIMBS)])
+        return total[NLIMBS:]
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def add(self, a, b):
+        s = _carry([a[i] + b[i] for i in range(NLIMBS)])
+        return _cond_sub_const(s, self.c["P2"])
+
+    def sub(self, a, b):
+        d, borrow = _sub_limbs(a, b)
+        p2 = _const_limbs(self.c["P2"], a[0])
+        add = [jnp.where(borrow, p2[i], jnp.uint32(0)) for i in range(NLIMBS)]
+        return _carry([d[i] + add[i] for i in range(NLIMBS)])
+
+    def canon(self, a):
+        return _cond_sub_const(a, self.c["P"])
+
+    def is_zero(self, a):
+        ca = self.canon(a)
+        acc = ca[0]
+        for i in range(1, NLIMBS):
+            acc = acc | ca[i]
+        return acc == 0
+
+    @staticmethod
+    def select(mask, a, b):
+        return [jnp.where(mask, a[i], b[i]) for i in range(NLIMBS)]
+
+
+KQ = _K(_FQ_CONST)
+KR = _K(_FR_CONST)
+
+
+def _read(ref, base):
+    """Read limbs base..base+15 of a [48-or-16, R, 128] ref into a list."""
+    return [ref[base + i] for i in range(NLIMBS)]
+
+
+def _write(ref, base, limbs):
+    for i in range(NLIMBS):
+        ref[base + i] = limbs[i]
+
+
+# ---------------------------------------------------------------------------
+# Field-multiply kernel (elementwise Montgomery product).
+# ---------------------------------------------------------------------------
+
+def _mont_mul_kernel(field, a_ref, b_ref, o_ref):
+    k = KQ if field == "fq" else KR
+    _write(o_ref, 0, k.mul(_read(a_ref, 0), _read(b_ref, 0)))
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_mul_call(field, nblocks):
+    spec = pl.BlockSpec((NLIMBS, _R, _LANES), lambda i: (0, i, 0))
+    return jax.jit(pl.pallas_call(
+        functools.partial(_mont_mul_kernel, field),
+        grid=(nblocks,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, nblocks * _R, _LANES), jnp.uint32),
+    ))
+
+
+def _to_blocks(x, w):
+    """[16, W] -> [16, ceil(W/BLOCK)*R, 128] (zero-padded)."""
+    pad = (-w) % _BLOCK
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((NLIMBS, pad), dtype=jnp.uint32)], axis=1
+        )
+    return x.reshape(NLIMBS, -1, _LANES)
+
+
+def mont_mul(field, a, b):
+    """Elementwise Montgomery mul on [16, *batch] u32 (broadcasting b OK)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    shape = a.shape
+    w = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    a2 = _to_blocks(a.reshape(NLIMBS, w), w)
+    b2 = _to_blocks(b.reshape(NLIMBS, w), w)
+    out = _mont_mul_call(field, a2.shape[1] // _R)(a2, b2)
+    return out.reshape(NLIMBS, -1)[:, :w].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# NTT butterfly kernel: (even, odd, tw) -> (even + tw*odd, even - tw*odd).
+# ---------------------------------------------------------------------------
+
+def _butterfly_kernel(e_ref, o_ref, t_ref, lo_ref, hi_ref):
+    k = KR
+    e = _read(e_ref, 0)
+    o = _read(o_ref, 0)
+    t = _read(t_ref, 0)
+    prod = k.mul(o, t)
+    _write(lo_ref, 0, k.add(e, prod))
+    _write(hi_ref, 0, k.sub(e, prod))
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_call(nblocks):
+    spec = pl.BlockSpec((NLIMBS, _R, _LANES), lambda i: (0, i, 0))
+    shape = jax.ShapeDtypeStruct((NLIMBS, nblocks * _R, _LANES), jnp.uint32)
+    return jax.jit(pl.pallas_call(
+        _butterfly_kernel,
+        grid=(nblocks,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(shape, shape),
+    ))
+
+
+def butterfly(even, odd, tw):
+    """Fused radix-2 butterfly over [16, *batch] (tw broadcastable)."""
+    even, odd, tw = jnp.broadcast_arrays(even, odd, tw)
+    shape = even.shape
+    w = int(np.prod(shape[1:]))
+    blocks = [_to_blocks(x.reshape(NLIMBS, w), w) for x in (even, odd, tw)]
+    lo, hi = _butterfly_call(blocks[0].shape[1] // _R)(*blocks)
+    lo = lo.reshape(NLIMBS, -1)[:, :w].reshape(shape)
+    hi = hi.reshape(NLIMBS, -1)[:, :w].reshape(shape)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Fused Jacobian point kernels (G1 over Fq; a=0, identity encoded as Z=0).
+# ---------------------------------------------------------------------------
+
+def _kern_double(k, p):
+    X, Y, Z = p
+    A = k.sqr(X)
+    B = k.sqr(Y)
+    C = k.sqr(B)
+    D = k.sub(k.sqr(k.add(X, B)), k.add(A, C))
+    D = k.add(D, D)
+    E = k.add(k.add(A, A), A)
+    F = k.sqr(E)
+    X3 = k.sub(F, k.add(D, D))
+    C2 = k.add(C, C)
+    C8 = k.add(k.add(C2, C2), k.add(C2, C2))
+    Y3 = k.sub(k.mul(E, k.sub(D, X3)), C8)
+    Z3 = k.mul(k.add(Y, Y), Z)
+    return X3, Y3, Z3
+
+
+def _kern_add(k, p, q):
+    """Complete Jacobian + Jacobian (identity/equal/inverse handled)."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    Z1Z1 = k.sqr(Z1)
+    Z2Z2 = k.sqr(Z2)
+    U1 = k.mul(X1, Z2Z2)
+    U2 = k.mul(X2, Z1Z1)
+    S1 = k.mul(Y1, k.mul(Z2, Z2Z2))
+    S2 = k.mul(Y2, k.mul(Z1, Z1Z1))
+    H = k.sub(U2, U1)
+    R = k.sub(S2, S1)
+    HH = k.sqr(H)
+    HHH = k.mul(H, HH)
+    V = k.mul(U1, HH)
+    X3 = k.sub(k.sub(k.sqr(R), HHH), k.add(V, V))
+    Y3 = k.sub(k.mul(R, k.sub(V, X3)), k.mul(S1, HHH))
+    Z3 = k.mul(k.mul(Z1, Z2), H)
+
+    p_inf = k.is_zero(Z1)
+    q_inf = k.is_zero(Z2)
+    either = p_inf | q_inf
+    h_zero = k.is_zero(H) & ~either
+    same = h_zero & k.is_zero(R)
+    cancel = h_zero & ~k.is_zero(R)
+
+    dX, dY, dZ = _kern_double(k, p)
+    zero = [jnp.zeros_like(Z1[0])] * NLIMBS
+    X3 = k.select(same, dX, X3)
+    Y3 = k.select(same, dY, Y3)
+    Z3 = k.select(same, dZ, Z3)
+    Z3 = k.select(cancel, zero, Z3)
+    X3 = k.select(q_inf, X1, k.select(p_inf, X2, X3))
+    Y3 = k.select(q_inf, Y1, k.select(p_inf, Y2, Y3))
+    Z3 = k.select(q_inf, Z1, k.select(p_inf, Z2, Z3))
+    return X3, Y3, Z3
+
+
+def _kern_madd(k, p, q_aff):
+    """Complete Jacobian + affine (q never infinity; p may be; p==q doubles)."""
+    X1, Y1, Z1 = p
+    X2, Y2 = q_aff
+    Z1Z1 = k.sqr(Z1)
+    U2 = k.mul(X2, Z1Z1)
+    S2 = k.mul(Y2, k.mul(Z1, Z1Z1))
+    H = k.sub(U2, X1)
+    R = k.sub(S2, Y1)
+    HH = k.sqr(H)
+    HHH = k.mul(H, HH)
+    V = k.mul(X1, HH)
+    X3 = k.sub(k.sub(k.sqr(R), HHH), k.add(V, V))
+    Y3 = k.sub(k.mul(R, k.sub(V, X3)), k.mul(Y1, HHH))
+    Z3 = k.mul(Z1, H)
+
+    p_inf = k.is_zero(Z1)
+    h_zero = k.is_zero(H) & ~p_inf
+    same = h_zero & k.is_zero(R)
+    cancel = h_zero & ~k.is_zero(R)
+
+    dX, dY, dZ = _kern_double(k, p)
+    one = _const_limbs(k.c["ONE"], Z1[0])
+    zero = [jnp.zeros_like(Z1[0])] * NLIMBS
+    X3 = k.select(same, dX, X3)
+    Y3 = k.select(same, dY, Y3)
+    Z3 = k.select(same, dZ, Z3)
+    Z3 = k.select(cancel, zero, Z3)
+    X3 = k.select(p_inf, X2, X3)
+    Y3 = k.select(p_inf, Y2, Y3)
+    Z3 = k.select(p_inf, one, Z3)
+    return X3, Y3, Z3
+
+
+def _jac_add_kernel(a_ref, b_ref, o_ref):
+    p = (_read(a_ref, 0), _read(a_ref, NLIMBS), _read(a_ref, 2 * NLIMBS))
+    q = (_read(b_ref, 0), _read(b_ref, NLIMBS), _read(b_ref, 2 * NLIMBS))
+    X, Y, Z = _kern_add(KQ, p, q)
+    _write(o_ref, 0, X)
+    _write(o_ref, NLIMBS, Y)
+    _write(o_ref, 2 * NLIMBS, Z)
+
+
+def _jac_madd_kernel(a_ref, b_ref, o_ref):
+    p = (_read(a_ref, 0), _read(a_ref, NLIMBS), _read(a_ref, 2 * NLIMBS))
+    q = (_read(b_ref, 0), _read(b_ref, NLIMBS))
+    X, Y, Z = _kern_madd(KQ, p, q)
+    _write(o_ref, 0, X)
+    _write(o_ref, NLIMBS, Y)
+    _write(o_ref, 2 * NLIMBS, Z)
+
+
+def _jac_double_kernel(a_ref, o_ref):
+    p = (_read(a_ref, 0), _read(a_ref, NLIMBS), _read(a_ref, 2 * NLIMBS))
+    X, Y, Z = _kern_double(KQ, p)
+    _write(o_ref, 0, X)
+    _write(o_ref, NLIMBS, Y)
+    _write(o_ref, 2 * NLIMBS, Z)
+
+
+@functools.lru_cache(maxsize=None)
+def _point_call(which, nblocks):
+    def spec(rows):
+        return pl.BlockSpec((rows, _R, _LANES), lambda i: (0, i, 0))
+
+    shape3 = jax.ShapeDtypeStruct((3 * NLIMBS, nblocks * _R, _LANES), jnp.uint32)
+    if which == "add":
+        return jax.jit(pl.pallas_call(
+            _jac_add_kernel,
+            grid=(nblocks,),
+            in_specs=[spec(3 * NLIMBS), spec(3 * NLIMBS)],
+            out_specs=spec(3 * NLIMBS),
+            out_shape=shape3,
+        ))
+    if which == "madd":
+        return jax.jit(pl.pallas_call(
+            _jac_madd_kernel,
+            grid=(nblocks,),
+            in_specs=[spec(3 * NLIMBS), spec(2 * NLIMBS)],
+            out_specs=spec(3 * NLIMBS),
+            out_shape=shape3,
+        ))
+    return jax.jit(pl.pallas_call(
+        _jac_double_kernel,
+        grid=(nblocks,),
+        in_specs=[spec(3 * NLIMBS)],
+        out_specs=spec(3 * NLIMBS),
+        out_shape=shape3,
+    ))
+
+
+def _stack_blocks(coords, w):
+    """Tuple of [16, W] coords -> [len*16, blocks*R, 128]."""
+    cat = jnp.concatenate(coords, axis=0)  # [c*16, W]
+    pad = (-w) % _BLOCK
+    if pad:
+        cat = jnp.concatenate(
+            [cat, jnp.zeros((cat.shape[0], pad), dtype=jnp.uint32)], axis=1
+        )
+    return cat.reshape(cat.shape[0], -1, _LANES)
+
+
+def _unstack(out, w, shape_tail):
+    flat = out.reshape(3 * NLIMBS, -1)[:, :w]
+    full = flat.reshape((3 * NLIMBS,) + shape_tail)
+    return (full[:NLIMBS], full[NLIMBS : 2 * NLIMBS], full[2 * NLIMBS :])
+
+
+def jac_add(p, q):
+    """Fused complete Jacobian add on [16, *batch] coordinate triples."""
+    arrs = jnp.broadcast_arrays(*p, *q)
+    shape_tail = arrs[0].shape[1:]
+    w = int(np.prod(shape_tail))
+    a = _stack_blocks(tuple(x.reshape(NLIMBS, w) for x in arrs[:3]), w)
+    b = _stack_blocks(tuple(x.reshape(NLIMBS, w) for x in arrs[3:]), w)
+    out = _point_call("add", a.shape[1] // _R)(a, b)
+    return _unstack(out, w, shape_tail)
+
+
+def jac_madd(p, q_aff):
+    """Fused Jacobian + affine add; q_aff = (x, y) mont limbs, not infinity."""
+    arrs = jnp.broadcast_arrays(*p, *q_aff)
+    shape_tail = arrs[0].shape[1:]
+    w = int(np.prod(shape_tail))
+    a = _stack_blocks(tuple(x.reshape(NLIMBS, w) for x in arrs[:3]), w)
+    b = _stack_blocks(tuple(x.reshape(NLIMBS, w) for x in arrs[3:]), w)
+    out = _point_call("madd", a.shape[1] // _R)(a, b)
+    return _unstack(out, w, shape_tail)
+
+
+def jac_double_n(p, n_times: int = 1):
+    """n_times fused doublings (single kernel call each)."""
+    arrs = [jnp.asarray(x) for x in p]
+    shape_tail = arrs[0].shape[1:]
+    w = int(np.prod(shape_tail))
+    a = _stack_blocks(tuple(x.reshape(NLIMBS, w) for x in arrs), w)
+    call = _point_call("double", a.shape[1] // _R)
+    for _ in range(n_times):
+        a = call(a)
+    return _unstack(a, w, shape_tail)

@@ -85,10 +85,16 @@ def _commit_many(pre, lagrange_or_coeffs, n: int, from_lagrange: bool):
 
     iNTT (when Lagrange), canonical digit decomposition, and a vmapped bucket
     MSM over the shared SRS window tables.
+
+    When `pre` is None (TPU fast path), the MSM is NOT traced here: the
+    monomial coefficient stack is returned instead and the Prover commits
+    outside the fused jit through the Pallas MSM pipeline (ops/msm2.py).
     """
     vals = lagrange_or_coeffs
     if from_lagrange:
         vals = _ntt_impl(vals, n, inverse=True)
+    if pre is None:
+        return vals
     raw = fr.from_mont(vals)
     digits = jax.vmap(_digits_impl, in_axes=1)(raw)  # [B, 32n]
     return jax.vmap(_msm_kernel, in_axes=(None, None, None, 0))(
@@ -435,7 +441,22 @@ class Prover:
 
     @property
     def _pre(self):
+        if self.setup.msm_engine.use_pallas:
+            return None  # commits run outside the jits via ops/msm2
         return self.setup.msm_engine.precomp_for(self.group_order)
+
+    def _commits(self, pts_or_coeffs, count: int):
+        """Round-kernel commit output -> host affine points.
+
+        XLA path: Jacobian points were computed inside the fused jit.
+        Pallas path (pre=None): the jit returned monomial coefficient stacks
+        [B, 16, count, n]; run each through the Pallas MSM pipeline here.
+        """
+        if self._pre is None:
+            coeffs = pts_or_coeffs[0]  # batch entry 0: [16, count, n]
+            eng = self.setup.msm_engine
+            return [eng.commit_mont(coeffs[:, i, :]) for i in range(count)]
+        return _points_from_batch(tuple(c[0] for c in pts_or_coeffs), count)
 
     def prove(self, witness: dict) -> Proof:
         transcript = Transcript(b"plonk")
@@ -491,7 +512,7 @@ class Prover:
         self.B = Polynomial(abc[:, 1, :], Basis.LAGRANGE)
         self.C = Polynomial(abc[:, 2, :], Basis.LAGRANGE)
         pts = self._jits["r1"](self._pre, abc[None])
-        a_1, b_1, c_1 = _points_from_batch(tuple(c[0] for c in pts), 3)
+        a_1, b_1, c_1 = self._commits(pts, 3)
 
         if self.debug:
             gate = (
@@ -521,7 +542,7 @@ class Prover:
                 "grand product does not close"
             )
         self.Z = Polynomial(z_vals[0], Basis.LAGRANGE)
-        (z_1,) = _points_from_batch(tuple(c[0] for c in pts), 1)
+        (z_1,) = self._commits(pts, 1)
         return Message2(z_1)
 
     # -- round 3: quotient polynomial ------------------------------------
@@ -581,7 +602,7 @@ class Prover:
                 "T split mismatch"
             )
 
-        t_lo_1, t_mid_1, t_hi_1 = _points_from_batch(tuple(c[0] for c in pts), 3)
+        t_lo_1, t_mid_1, t_hi_1 = self._commits(pts, 3)
         return Message3(t_lo_1, t_mid_1, t_hi_1)
 
     # -- round 4: openings -------------------------------------------------
@@ -644,7 +665,7 @@ class Prover:
                 3 * n
             ), "W_zw degree >= n"
 
-        W_z_1, W_zw_1 = _points_from_batch(tuple(c[0] for c in pts), 2)
+        W_z_1, W_zw_1 = self._commits(pts, 2)
         return Message5(W_z_1, W_zw_1)
 
     # -- reference-compatible helpers -------------------------------------
