@@ -18,6 +18,10 @@ class ProverConfig:
     debug_checks: bool = False
     # Record per-round wall-clock timings into Prover.timings.
     profile: bool = False
+    # Device mesh for length-sharded proving (round 3's NTT/quotient chain
+    # runs across all mesh devices).  None = single device.
+    mesh: object = None
+    mesh_axis: str = "shard"
 
 
 @dataclass(frozen=True)

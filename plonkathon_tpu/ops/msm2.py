@@ -49,13 +49,21 @@ _TILE = _R * _LANES  # 1024 chunk-lanes per grid block
 # Run-scan kernel.
 # ---------------------------------------------------------------------------
 
-def _scan_kernel(d_ref, prev_ref, pt_ref, out_ref, acc_ref):
-    """One step of the per-chunk run accumulation on a 1024-lane tile.
+_UNROLL = 16  # sorted-scan steps per grid iteration (fori'd in-kernel)
 
-    d/prev: (1, R, 128) i32 current/previous digit per lane.
-    pt:     (1, 32, R, 128) u32 — affine (x, y) limbs of this step's points.
-    out:    (1, 48, R, 128) u32 — running prefix AFTER this step.
-    acc:    [48, R, 128] VMEM scratch, persists across the S grid steps.
+
+def _scan_kernel(unroll, d_ref, prev_ref, pt_ref, out_ref, acc_ref):
+    """`unroll` steps of the per-chunk run accumulation on a 1024-lane tile.
+
+    d/prev: (U, R, 128) i32 current/previous digit per lane.
+    pt:     (U, 32, R, 128) u32 — affine (x, y) limbs of the step points.
+    out:    (U, 48, R, 128) u32 — running prefix AFTER each step.
+    acc:    [48, R, 128] VMEM scratch, persists across the S/U grid steps.
+
+    The U sub-steps run in an in-kernel fori_loop (body traced once), so
+    per-grid-step overhead (block DMA, loop bookkeeping) amortizes over U
+    fused mixed-adds — the 1-step variant measured grid-overhead-bound at
+    ~100us/step vs ~2us of VPU compute.
     """
     s = pl.program_id(1)
 
@@ -67,33 +75,41 @@ def _scan_kernel(d_ref, prev_ref, pt_ref, out_ref, acc_ref):
             acc_ref[NLIMBS + i] = one[i]
             acc_ref[2 * NLIMBS + i] = jnp.zeros_like(one[i])
 
-    fresh = d_ref[0] != prev_ref[0]
-    one = _const_limbs(KQ.c["ONE"], acc_ref[0])
-    zero = [jnp.zeros_like(acc_ref[0])] * NLIMBS
-    accX = KQ.select(fresh, one, [acc_ref[i] for i in range(NLIMBS)])
-    accY = KQ.select(fresh, one, [acc_ref[NLIMBS + i] for i in range(NLIMBS)])
-    accZ = KQ.select(fresh, zero, [acc_ref[2 * NLIMBS + i] for i in range(NLIMBS)])
+    def step(u, _):
+        du = d_ref[pl.ds(u, 1)][0]
+        pu = prev_ref[pl.ds(u, 1)][0]
+        ptu = pt_ref[pl.ds(u, 1)][0]            # (32, R, 128)
+        fresh = du != pu
+        one = _const_limbs(KQ.c["ONE"], acc_ref[0])
+        zero = [jnp.zeros_like(acc_ref[0])] * NLIMBS
+        accX = KQ.select(fresh, one, [acc_ref[i] for i in range(NLIMBS)])
+        accY = KQ.select(fresh, one, [acc_ref[NLIMBS + i] for i in range(NLIMBS)])
+        accZ = KQ.select(
+            fresh, zero, [acc_ref[2 * NLIMBS + i] for i in range(NLIMBS)]
+        )
+        px = [ptu[i] for i in range(NLIMBS)]
+        py = [ptu[NLIMBS + i] for i in range(NLIMBS)]
+        X, Y, Z = PM._kern_madd(KQ, (accX, accY, accZ), (px, py))
+        for i in range(NLIMBS):
+            acc_ref[i] = X[i]
+            acc_ref[NLIMBS + i] = Y[i]
+            acc_ref[2 * NLIMBS + i] = Z[i]
+        out_ref[pl.ds(u, 1)] = jnp.stack(X + Y + Z, axis=0)[None]
+        return 0
 
-    px = [pt_ref[0, i] for i in range(NLIMBS)]
-    py = [pt_ref[0, NLIMBS + i] for i in range(NLIMBS)]
-    X, Y, Z = PM._kern_madd(KQ, (accX, accY, accZ), (px, py))
-    for i in range(NLIMBS):
-        acc_ref[i] = X[i]
-        acc_ref[NLIMBS + i] = Y[i]
-        acc_ref[2 * NLIMBS + i] = Z[i]
-        out_ref[0, i] = X[i]
-        out_ref[0, NLIMBS + i] = Y[i]
-        out_ref[0, 2 * NLIMBS + i] = Z[i]
+    jax.lax.fori_loop(0, unroll, step, 0)
 
 
 @functools.lru_cache(maxsize=None)
 def _scan_call(ctiles, steps):
-    ispec = pl.BlockSpec((1, _R, _LANES), lambda c, s: (s, c, 0))
-    ptspec = pl.BlockSpec((1, 2 * NLIMBS, _R, _LANES), lambda c, s: (s, 0, c, 0))
-    ospec = pl.BlockSpec((1, 3 * NLIMBS, _R, _LANES), lambda c, s: (s, 0, c, 0))
+    u = min(_UNROLL, steps)
+    assert steps % u == 0
+    ispec = pl.BlockSpec((u, _R, _LANES), lambda c, s: (s, c, 0))
+    ptspec = pl.BlockSpec((u, 2 * NLIMBS, _R, _LANES), lambda c, s: (s, 0, c, 0))
+    ospec = pl.BlockSpec((u, 3 * NLIMBS, _R, _LANES), lambda c, s: (s, 0, c, 0))
     return pl.pallas_call(
-        _scan_kernel,
-        grid=(ctiles, steps),
+        functools.partial(_scan_kernel, u),
+        grid=(ctiles, steps // u),
         in_specs=[ispec, ispec, ptspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct(
@@ -187,11 +203,12 @@ def _suffix_scan_stacked(arr):
 def _choose_chunks(k):
     """Chunk count C (multiple of 1024) balancing scan vs fold work.
 
-    C ~ K/NB equalizes the run-scan's K mixed-adds against the chunk-fold's
-    C*NB Jacobian adds; the 1024 floor keeps kernel lanes full.
+    C ~ K/512 keeps the chunk-fold's C*NB Jacobian adds at ~half the
+    run-scan's K mixed-adds; the 1024 floor keeps kernel lanes full and the
+    8192 cap bounds the fold's memory footprint.
     """
     assert k >= 8192, "msm2 requires at least 8192 digit entries"
-    tgt = max(1024, k // NB)
+    tgt = min(max(1024, k // 512), 8192)
     return min(1 << (tgt - 1).bit_length(), k // 8)
 
 

@@ -28,7 +28,6 @@ from ..poly import Polynomial, Basis
 from ..prover import (
     Proof,
     _round_jits,
-    _points_from_batch,
 )
 from ..transcript import (
     Transcript,
@@ -73,10 +72,25 @@ class BatchProver:
         spec = P(self.axis, *([None] * (arr.ndim - 1)))
         return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
+    def _extract_points(self, out, b: int, count: int):
+        """Round-kernel commit output -> per-instance host affine points.
+
+        XLA path: Jacobian points from inside the jit.  Pallas path
+        (pre=None): monomial coefficient stacks [B, 16, count, n] committed
+        here through ops/msm2.
+        """
+        eng = self.setup.msm_engine
+        return [
+            [eng.commit_mont(out[i][:, j, :]) for j in range(count)]
+            for i in range(b)
+        ]
+
     def prove_batch(self, witnesses: list[dict]) -> list[Proof]:
         n = self.group_order
         B = len(witnesses)
-        pre = self.setup.msm_engine.precomp_for(n)
+        # Commits always run outside the round jits (see Prover._pre): one
+        # shared MSM executable instead of one inlined per round kernel.
+        pre = None
         public_vars = self.program.get_public_assignments()
         wires = self.program.wires()
         transcripts = [Transcript(b"plonk") for _ in range(B)]
@@ -112,18 +126,7 @@ class BatchProver:
         )  # [B, 16, 3, n]
         abc = self._shard(jnp.asarray(abc))
         pts1 = self._jits["r1"](pre, abc)
-        msg1s = []
-        X, Y, Z = (np.asarray(c) for c in pts1)  # [B, 3, 16]
-        from ..ops.curve import jac_to_affine_host
-
-        for i in range(B):
-            msg1s.append(
-                Message1(
-                    jac_to_affine_host((X[i, 0], Y[i, 0], Z[i, 0])),
-                    jac_to_affine_host((X[i, 1], Y[i, 1], Z[i, 1])),
-                    jac_to_affine_host((X[i, 2], Y[i, 2], Z[i, 2])),
-                )
-            )
+        msg1s = [Message1(*row) for row in self._extract_points(pts1, B, 3)]
         betas, gammas = zip(*(t.round_1(m) for t, m in zip(transcripts, msg1s)))
 
         # ---- round 2 ----
@@ -132,11 +135,7 @@ class BatchProver:
             pre, a_vals, b_vals, c_vals, *self._s_stack,
             _stack_scalars(betas), _stack_scalars(gammas),
         )
-        X, Y, Z = (np.asarray(c) for c in pts2)
-        msg2s = [
-            Message2(jac_to_affine_host((X[i, 0], Y[i, 0], Z[i, 0])))
-            for i in range(B)
-        ]
+        msg2s = [Message2(*row) for row in self._extract_points(pts2, B, 1)]
         alphas, offs = zip(*(t.round_2(m) for t, m in zip(transcripts, msg2s)))
 
         # ---- round 3 ----
@@ -173,15 +172,7 @@ class BatchProver:
             _stack_scalars([o**n for o in offs_f]),
             _stack_scalars([Fr(1) / o for o in offs_f]),
         )
-        X, Y, Z = (np.asarray(c) for c in pts3)
-        msg3s = [
-            Message3(
-                jac_to_affine_host((X[i, 0], Y[i, 0], Z[i, 0])),
-                jac_to_affine_host((X[i, 1], Y[i, 1], Z[i, 1])),
-                jac_to_affine_host((X[i, 2], Y[i, 2], Z[i, 2])),
-            )
-            for i in range(B)
-        ]
+        msg3s = [Message3(*row) for row in self._extract_points(pts3, B, 3)]
         zetas = [t.round_3(m) for t, m in zip(transcripts, msg3s)]
 
         # ---- round 4 ----
@@ -235,13 +226,10 @@ class BatchProver:
             _stack_scalars(offs_f),
             _stack_scalars([Fr(1) / o for o in offs_f]),
         )
-        X, Y, Z = (np.asarray(c) for c in pts5)
+        rows5 = self._extract_points(pts5, B, 2)
         proofs = []
         for i in range(B):
-            msg5 = Message5(
-                jac_to_affine_host((X[i, 0], Y[i, 0], Z[i, 0])),
-                jac_to_affine_host((X[i, 1], Y[i, 1], Z[i, 1])),
-            )
+            msg5 = Message5(*rows5[i])
             transcripts[i].round_5(msg5)
             proofs.append(Proof(msg1s[i], msg2s[i], msg3s[i], msg4s[i], msg5))
         return proofs

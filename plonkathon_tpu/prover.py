@@ -441,22 +441,19 @@ class Prover:
 
     @property
     def _pre(self):
-        if self.setup.msm_engine.use_pallas:
-            return None  # commits run outside the jits via ops/msm2
-        return self.setup.msm_engine.precomp_for(self.group_order)
+        # Commits always run OUTSIDE the fused round jits, through the MSM
+        # engine (Pallas pipeline on TPU, the jitted XLA bucket MSM on CPU).
+        # Inlining the MSM into the rounds quadrupled compile time: the
+        # same ~10k-op MSM graph was recompiled inside r1, r2, r3, and r5
+        # (measured 315/115/224/192 s at n=64 on CPU); one shared commit
+        # executable brings those to ~10-30 s each.
+        return None
 
-    def _commits(self, pts_or_coeffs, count: int):
-        """Round-kernel commit output -> host affine points.
-
-        XLA path: Jacobian points were computed inside the fused jit.
-        Pallas path (pre=None): the jit returned monomial coefficient stacks
-        [B, 16, count, n]; run each through the Pallas MSM pipeline here.
-        """
-        if self._pre is None:
-            coeffs = pts_or_coeffs[0]  # batch entry 0: [16, count, n]
-            eng = self.setup.msm_engine
-            return [eng.commit_mont(coeffs[:, i, :]) for i in range(count)]
-        return _points_from_batch(tuple(c[0] for c in pts_or_coeffs), count)
+    def _commits(self, coeff_stacks, count: int):
+        """Round-kernel coefficient output [B, 16, count, n] -> affine points."""
+        coeffs = coeff_stacks[0]  # batch entry 0: [16, count, n]
+        eng = self.setup.msm_engine
+        return [eng.commit_mont(coeffs[:, i, :]) for i in range(count)]
 
     def prove(self, witness: dict) -> Proof:
         transcript = Transcript(b"plonk")
@@ -573,6 +570,8 @@ class Prover:
             ],
             axis=1,
         )  # [16, 15, n]
+        if self.config.mesh is not None:
+            return self._round_3_sharded(polys)
         pts, t_lag, bigs, xvals, quot, qcoeffs = self._jits["r3"](
             self._pre,
             polys[None],
@@ -603,6 +602,39 @@ class Prover:
             )
 
         t_lo_1, t_mid_1, t_hi_1 = self._commits(pts, 3)
+        return Message3(t_lo_1, t_mid_1, t_hi_1)
+
+    def _round_3_sharded(self, polys) -> Message3:
+        """Round 3 with the NTT/quotient chain length-sharded over the mesh.
+
+        Bit-identical to the single-device path (exact integer math); the
+        coset extension, quotient, and inverse transform run inside one
+        shard_map (parallel/sharded.py `sharded_round3`) with three
+        all_to_alls as the only communication.
+        """
+        n = self.group_order
+        off = self.fft_cofactor
+        from .parallel.sharded import sharded_round3
+
+        bigs, xvals, quot, qcoeffs = sharded_round3(
+            self.config.mesh, self.config.mesh_axis, polys,
+            self._s(self.beta)[0], self._s(self.gamma)[0],
+            self._s(self.alpha)[0], off,
+        )
+        t_coeffs = qcoeffs[:, : 3 * n].reshape(NLIMBS, 3, n)
+        t_lag = _ntt_impl(t_coeffs, n, inverse=False)
+        self._t_lag = t_lag[None]
+        self._bigs = bigs[None]
+        self._xvals = xvals[None]
+
+        if self.debug:
+            tail = fr.from_mont_host_many(np.asarray(qcoeffs[:, 3 * n :]))
+            assert tail == [0] * n, "quotient degree >= 3n"
+
+        eng = self.setup.msm_engine
+        t_lo_1, t_mid_1, t_hi_1 = (
+            eng.commit_mont(t_coeffs[:, i, :]) for i in range(3)
+        )
         return Message3(t_lo_1, t_mid_1, t_hi_1)
 
     # -- round 4: openings -------------------------------------------------
