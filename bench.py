@@ -77,8 +77,8 @@ def main():
         def msm_chain(coeffs, reps):
             def body(_, cc):
                 digits = _curve._digits_impl(fr.from_mont(cc))
-                res = msm2._msm_impl(tabx, taby, digits, c=c, s=s)
-                return fr.add(cc, res[:16, :1])
+                res = msm2._msm_impl(tabx, taby, digits, c=c, s=s)  # [48]
+                return fr.add(cc, res[:16][:, None])
 
             return jax.lax.fori_loop(0, reps, body, coeffs)
 

@@ -208,7 +208,7 @@ def _choose_chunks(k):
     8192 cap bounds the fold's memory footprint.
     """
     assert k >= 8192, "msm2 requires at least 8192 digit entries"
-    tgt = min(max(1024, k // 512), 8192)
+    tgt = min(max(1024, k // 2048), 8192)
     return min(1 << (tgt - 1).bit_length(), k // 8)
 
 

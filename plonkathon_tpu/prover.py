@@ -570,7 +570,7 @@ class Prover:
             ],
             axis=1,
         )  # [16, 15, n]
-        if self.config.mesh is not None:
+        if self.config.mesh is not None and self._mesh_shardable():
             return self._round_3_sharded(polys)
         pts, t_lag, bigs, xvals, quot, qcoeffs = self._jits["r3"](
             self._pre,
@@ -603,6 +603,16 @@ class Prover:
 
         t_lo_1, t_mid_1, t_hi_1 = self._commits(pts, 3)
         return Message3(t_lo_1, t_mid_1, t_hi_1)
+
+    def _mesh_shardable(self) -> bool:
+        """Mesh round 3 needs n = n1*n2 with both divisible by the axis size."""
+        from .parallel.sharded import _factor
+
+        try:
+            _factor(self.group_order, self.config.mesh.shape[self.config.mesh_axis])
+            return True
+        except AssertionError:
+            return False
 
     def _round_3_sharded(self, polys) -> Message3:
         """Round 3 with the NTT/quotient chain length-sharded over the mesh.
