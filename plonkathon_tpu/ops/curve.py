@@ -173,6 +173,31 @@ def jac_to_affine_host(p):
 # Fixed-base MSM.
 # ---------------------------------------------------------------------------
 
+def _srs_digest(points) -> str:
+    """Content digest of an SRS point list, for keying window-table caches.
+
+    A count-only check silently accepts stale tables from a *different* SRS
+    of the same size (e.g. a regenerated synthetic setup with another tau),
+    which yields wrong commitments for every subsequent proof.  Hashes n
+    plus a deterministic sample of <= 4096 points — any tau change alters
+    every non-generator point, so sampling catches a mismatch with
+    certainty while staying O(1)-ish for multi-million-point setups.
+    """
+    import hashlib
+
+    n = len(points)
+    h = hashlib.sha256()
+    h.update(str(n).encode())
+    step = max(1, n // 4096)
+    for i in range(0, n, step):
+        p = points[i]
+        h.update(int(p[0]).to_bytes(32, "little"))
+        h.update(int(p[1]).to_bytes(32, "little"))
+    p = points[-1]
+    h.update(int(p[0]).to_bytes(32, "little"))
+    h.update(int(p[1]).to_bytes(32, "little"))
+    return h.hexdigest()
+
 def _window_precompute_impl(x, y):
     """Affine bases [16, n] -> Jacobian windowed bases [16, NWINDOWS * n].
 
@@ -339,6 +364,7 @@ class FixedBaseMSM:
         self.n = len(points)
         self._points = points
         self.cache_path = cache_path
+        self._digest = _srs_digest(points)
         self.use_pallas = jax.default_backend() == "tpu"
         self.precomp = None      # Jacobian tables (XLA path)
         self.affine_tab = None   # (tabx, taby) affine tables (Pallas path)
@@ -353,7 +379,11 @@ class FixedBaseMSM:
         if self.cache_path is not None:
             try:
                 data = np.load(self.cache_path)
-                if int(data["n"]) == self.n and "Z" in data:
+                if (
+                    int(data["n"]) == self.n
+                    and "Z" in data
+                    and str(data.get("digest")) == self._digest
+                ):
                     self.precomp = tuple(
                         jax.device_put(jnp.asarray(data[k])) for k in ("X", "Y", "Z")
                     )
@@ -367,7 +397,9 @@ class FixedBaseMSM:
         if self.cache_path is not None:
             try:
                 X, Y, Z = (np.asarray(c) for c in self.precomp)
-                np.savez(self.cache_path, n=self.n, X=X, Y=Y, Z=Z)
+                np.savez(
+                    self.cache_path, n=self.n, digest=self._digest, X=X, Y=Y, Z=Z
+                )
             except OSError:
                 pass
 
@@ -380,7 +412,10 @@ class FixedBaseMSM:
         if cache is not None:
             try:
                 data = np.load(cache)
-                if int(data["n"]) == self.n:
+                if (
+                    int(data["n"]) == self.n
+                    and str(data.get("digest")) == self._digest
+                ):
                     self.affine_tab = tuple(
                         jax.device_put(jnp.asarray(data[k])) for k in ("AX", "AY")
                     )
@@ -394,7 +429,7 @@ class FixedBaseMSM:
         if cache is not None:
             try:
                 ax, ay = (np.asarray(c) for c in self.affine_tab)
-                np.savez(cache, n=self.n, AX=ax, AY=ay)
+                np.savez(cache, n=self.n, digest=self._digest, AX=ax, AY=ay)
             except OSError:
                 pass
 

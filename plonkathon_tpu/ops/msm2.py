@@ -276,15 +276,20 @@ def msm_fixed_affine(tabx, taby, digits):
     """MSM over pre-shifted affine window tables; returns [48] Jacobian limbs."""
     k = digits.shape[0]
     c = _choose_chunks(k)
-    if k % c:
-        padk = (-k) % c
-        digits = jnp.concatenate([digits, jnp.zeros(padk, digits.dtype)])
+    # Steps per chunk must divide by the kernel unroll once above it
+    # (non-power-of-two polynomial lengths otherwise crash `_scan_call`'s
+    # steps % u == 0 requirement — e.g. m=544 gives s=17).
+    s = -(-k // c)
+    if s > _UNROLL:
+        s = -(-s // _UNROLL) * _UNROLL
+    ktarget = c * s
+    if ktarget != k:
+        padk = ktarget - k
         # digit-0 pads never contribute; any valid base works — reuse the
         # first table entry to avoid inventing off-curve points.
+        digits = jnp.concatenate([digits, jnp.zeros(padk, digits.dtype)])
         tabx = jnp.concatenate([tabx, jnp.broadcast_to(tabx[:, :1], (NLIMBS, padk))], axis=1)
         taby = jnp.concatenate([taby, jnp.broadcast_to(taby[:, :1], (NLIMBS, padk))], axis=1)
-        k = k + padk
-    s = k // c
     return _msm_jit2(c, s)(tabx, taby, digits)
 
 

@@ -31,70 +31,53 @@ def _bit_reverse_indices(n: int) -> np.ndarray:
     return rev
 
 
-@functools.lru_cache(maxsize=None)
-def _domain(n: int, inverse: bool):
-    """Per-size constants: bit-reversal index and per-stage twiddles (mont)."""
-    assert n & (n - 1) == 0 and n >= 1
+def _root_host(n: int, inverse: bool) -> int:
     w = pow(5, (FR_MOD - 1) // n, FR_MOD)
-    if inverse:
-        w = pow(w, -1, FR_MOD)
-    stages = []
-    bits = n.bit_length() - 1
-    for s in range(1, bits + 1):
-        m = 1 << s
-        half = m // 2
-        base = pow(w, n // m, FR_MOD)
-        tw = fr.to_mont_host_many([pow(base, j, FR_MOD) for j in range(half)])
-        stages.append(tw)  # uint32[16, half]
-    rev = _bit_reverse_indices(n)
-    n_inv_mont = fr.to_mont_host(pow(n, -1, FR_MOD))
-    return rev, stages, n_inv_mont
+    return pow(w, -1, FR_MOD) if inverse else w
 
 
-@functools.lru_cache(maxsize=None)
-def _scan_tables(n: int, inverse: bool):
-    """Uniform per-position stage tables so the stage loop is a `lax.scan`.
+def _roots_impl(n: int, inverse: bool = False):
+    """Device powers [1, w, ..., w^(n-1)] of the order-n domain generator.
 
-    For every position j of stage s: the odd-operand index, the even-operand
-    index, the twiddle at j, and whether j is the subtracting (high) slot.
-    This trades 2x the Montgomery multiplies (the product tw*odd is computed
-    at both slots of a butterfly) for a stage-uniform body — the whole NTT
-    traces as ONE scan body instead of log2(n) unrolled stages, which is
-    what keeps the fused prover kernels compilable (a round-1 n=8 prove
-    spent ~3 minutes in XLA compilation, dominated by inlined NTT stages).
+    Traced: the only embedded constant is the 64-byte root itself; the
+    table materializes on device via the log-depth doubling construction.
+    (A host-precomputed table baked into the HLO is 16 MB at n=2^18 —
+    large enough to break remote compilation of the jitted prover.)
     """
-    rev, stages, n_inv = _domain(n, inverse)
-    bits = n.bit_length() - 1
-    odd_idx = np.empty((bits, n), dtype=np.int32)
-    even_idx = np.empty((bits, n), dtype=np.int32)
-    tw_pos = np.empty((bits, NLIMBS, n), dtype=np.uint32)
-    is_hi = np.empty((bits, n), dtype=bool)
-    for s in range(1, bits + 1):
-        half = 1 << (s - 1)
-        m = 2 * half
-        j = np.arange(n)
-        pos_in_block = j % m
-        block_base = j - pos_in_block
-        hi = pos_in_block >= half
-        k = np.where(hi, pos_in_block - half, pos_in_block)
-        even_idx[s - 1] = block_base + k
-        odd_idx[s - 1] = block_base + k + half
-        tw_pos[s - 1] = stages[s - 1][:, k]
-        is_hi[s - 1] = hi
-    return rev, odd_idx, even_idx, tw_pos, is_hi, n_inv
+    return _powers_kernel(jnp.asarray(fr.to_mont_host(_root_host(n, inverse))), n)
 
 
 def _ntt_impl(values, n: int, inverse: bool):
-    """values: uint32[16, *batch, n] (Montgomery); transforms the last axis."""
+    """values: uint32[16, *batch, n] (Montgomery); transforms the last axis.
+
+    Iterative radix-2 DIT as ONE `lax.scan` over the log2(n) stages (a
+    stage-uniform body keeps the fused prover kernels compilable — unrolled
+    stages cost minutes of XLA compile).  All index/twiddle tables are
+    computed on device from `arange` and the [16] root constant: stage s
+    needs twiddle w^((n>>s)*k) at lane j (k = j mod 2^(s-1)), a gather from
+    the device power table.  Nothing larger than 64 bytes is baked into the
+    traced program, so remote compilation stays cheap at any n.
+    """
     if n == 1:
         return values
-    rev, odd_idx, even_idx, tw_pos, is_hi, n_inv = _scan_tables(n, inverse)
-    a = jnp.take(values, jnp.asarray(rev), axis=-1)
+    bits = n.bit_length() - 1
+    j = jnp.arange(n, dtype=jnp.int32)
+    rev = jnp.zeros_like(j)
+    for b in range(bits):
+        rev = rev | (((j >> b) & 1) << (bits - 1 - b))
+    a = jnp.take(values, rev, axis=-1)
     batch = values.shape[1:-1]
     nb = len(batch)
+    tw_all = _roots_impl(n, inverse)  # [16, n] device twiddle powers
 
-    def stage(acc, tabs):
-        oi, ei, tw, hi = tabs
+    def stage(acc, s):
+        half = jnp.left_shift(jnp.int32(1), s - 1)
+        pos = j & (2 * half - 1)
+        hi = pos >= half
+        k = j & (half - 1)
+        ei = (j - pos) + k
+        oi = ei + half
+        tw = jnp.take(tw_all, jnp.right_shift(jnp.int32(n), s) * k, axis=-1)
         ov = jnp.take(acc, oi, axis=-1)
         ev = jnp.take(acc, ei, axis=-1)
         twd = tw.reshape((NLIMBS,) + (1,) * nb + (n,))
@@ -102,14 +85,9 @@ def _ntt_impl(values, n: int, inverse: bool):
         out = jnp.where(hi, fr.sub(ev, t), fr.add(ev, t))
         return out, None
 
-    tabs = (
-        jnp.asarray(odd_idx),
-        jnp.asarray(even_idx),
-        jnp.asarray(tw_pos),
-        jnp.asarray(is_hi),
-    )
-    a, _ = jax.lax.scan(stage, a, tabs)
+    a, _ = jax.lax.scan(stage, a, jnp.arange(1, bits + 1, dtype=jnp.int32))
     if inverse:
+        n_inv = fr.to_mont_host(pow(n, -1, FR_MOD))
         ninv = jnp.asarray(n_inv).reshape((NLIMBS,) + (1,) * (nb + 1))
         a = fr.mul(a, ninv)
     return a
@@ -239,7 +217,7 @@ def _treesum(vec):
 
 
 def _barycentric_impl(values, x, n: int):
-    roots = jnp.asarray(_roots_mont(n))
+    roots = _roots_impl(n)
     denom = fr.sub(x[:, None], roots)
     inv_denom = fr.inv(denom)
     terms = fr.mul(fr.mul(values, roots), inv_denom)

@@ -144,12 +144,15 @@ def _perm_tables(n1: int, n2: int):
 
 
 def _factor(n: int, ndev: int):
-    """n = n1*n2 with n1, n2, 4*n2 all divisible by ndev (n1 >= n2)."""
+    """n = n1*n2 with n1, n2, 4*n2 all divisible by ndev (n1 >= n2).
+
+    Raises ValueError (not assert — `python -O` must not silently let an
+    unshardable size into the sharded path).
+    """
     n1 = 1 << ((n.bit_length() - 1 + 1) // 2)
     n2 = n // n1
-    assert n1 % ndev == 0 and n2 % ndev == 0, (
-        f"group order {n} too small to shard {ndev} ways"
-    )
+    if n1 % ndev != 0 or n2 % ndev != 0:
+        raise ValueError(f"group order {n} too small to shard {ndev} ways")
     return n1, n2
 
 
@@ -180,7 +183,11 @@ def _round3_jit(mesh: Mesh, axis: str, n1: int, n2: int, npoly: int):
         out_specs=(
             P(None, None, axis, None),   # bigs permuted [16,15,4n2/D,n1]
             P(None, axis, None),         # quot permuted
-            P(None, None, axis),         # qcoeffs permuted [16, n1/D, 4n2]
+            # qcoeffs: the final all_to_all(split_axis=1, concat_axis=2)
+            # leaves each device with an n1/D ROW block spanning all 4n2
+            # columns, so the global [16, n1, 4n2] array is sharded on
+            # axis 1 (rows) — NOT axis 2.
+            P(None, axis, None),         # qcoeffs permuted [16, n1, 4n2]
             P(None, axis, None),         # xvals permuted
         ),
     )

@@ -131,8 +131,14 @@ def _prefix_product(f, g):
 
 @functools.lru_cache(maxsize=None)
 def _coset_x_consts(n: int):
-    """Constants for X and Z_H on the 4n coset: X(i) = offset * q^i and
-    Z_H(i) = offset^n * w4^i - 1 where w4 = q^n has order 4."""
+    """HOST constants for X and Z_H on the 4n coset: X(i) = offset * q^i and
+    Z_H(i) = offset^n * w4^i - 1 where w4 = q^n has order 4.
+
+    Only for host-side table construction (e.g. the sharded prover's
+    permuted layout tables, passed to jits as operands).  Traced code must
+    use `_coset_x_consts_impl` instead — baking these [16, 4n] arrays into
+    an HLO costs 64 MB of program constants at n=2^18.
+    """
     q = pow(5, (FR_MOD - 1) // (4 * n), FR_MOD)
     qr = []
     cur = 1
@@ -145,6 +151,19 @@ def _coset_x_consts(n: int):
         fr.to_mont_host_many(qr),
         fr.to_mont_host_many(w4p),
     )
+
+
+def _coset_x_consts_impl(n: int):
+    """Traced equivalent of `_coset_x_consts`: computes the [16, 4n] tables
+    on device from two 64-byte constants (log-depth powers + a 4-tile)."""
+    q = pow(5, (FR_MOD - 1) // (4 * n), FR_MOD)
+    qroots = _ntt.scalar_powers_impl(jnp.asarray(fr.to_mont_host(q)), 4 * n)
+    w4 = pow(q, n, FR_MOD)
+    w4_4 = jnp.asarray(
+        fr.to_mont_host_many([pow(w4, i, FR_MOD) for i in range(4)])
+    )  # [16, 4]
+    w4p = jnp.tile(w4_4, (1, n))
+    return qroots, w4p
 
 
 def _coset_x_impl(offset, offset_n, qroots, w4p):
@@ -195,7 +214,7 @@ def _quotient_impl(
 def _barycentric_batch(values, xs, n: int):
     """values [16, B, n], xs [16, B] -> evals [16, B] (Montgomery, canonical
     up to lazy domain)."""
-    roots = jnp.asarray(_ntt._roots_mont(n))
+    roots = _ntt._roots_impl(n)
     denom = fr.sub(xs[:, :, None], roots[:, None, :])
     terms = fr.mul(fr.mul(values, roots[:, None, :]), fr.inv(denom))
     total = terms
@@ -221,7 +240,8 @@ def _round1_kernel(pre, abc_vals, n: int):
     return _commit_many(pre, abc_vals, n, from_lagrange=True)
 
 
-def _round2_kernel(pre, a, b, c, s1, s2, s3, roots, beta, gamma, n: int):
+def _round2_kernel(pre, a, b, c, s1, s2, s3, beta, gamma, n: int):
+    roots = _ntt._roots_impl(n)
     beta_ = beta[:, None]
     gamma_ = gamma[:, None]
     r2 = fr.add(roots, roots)
@@ -240,12 +260,13 @@ def _round2_kernel(pre, a, b, c, s1, s2, s3, roots, beta, gamma, n: int):
 
 
 def _round3_kernel(
-    pre, polys, qroots, w4p, beta, gamma, alpha, offset, offset_n, offset_inv,
+    pre, polys, beta, gamma, alpha, offset, offset_n, offset_inv,
     n: int,
 ):
     """polys: [16, 15, n] = (a, b, c, pi, ql, qr, qm, qo, qc, z, zshift,
     s1, s2, s3, l0).  Returns (t commitments, T lagrange stack, big stack,
     xvals, quot values)."""
+    qroots, w4p = _coset_x_consts_impl(n)
     # Batched coset extension of all 15 polynomials at once.
     coeffs = _ntt_impl(polys, n, inverse=True)
     pw = _ntt.scalar_powers_impl(offset, n)
@@ -356,23 +377,18 @@ def _round_jits(n: int):
     heaviest XLA modules in the framework, so sharing the executables
     halves compile time and the persistent-cache footprint.
     """
-    qroots, w4p = _coset_x_consts(n)
-    qroots = jnp.asarray(qroots)
-    w4p = jnp.asarray(w4p)
-    roots = jnp.asarray(_ntt._roots_mont(n))
-
     r1 = jax.vmap(
         lambda pre, abc: _round1_kernel(pre, abc, n), in_axes=(None, 0)
     )
     r2 = jax.vmap(
         lambda pre, a, b, c, s1, s2, s3, beta, gamma: _round2_kernel(
-            pre, a, b, c, s1, s2, s3, roots, beta, gamma, n
+            pre, a, b, c, s1, s2, s3, beta, gamma, n
         ),
         in_axes=(None, 0, 0, 0, None, None, None, 0, 0),
     )
     r3 = jax.vmap(
         lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
-            pre, polys, qroots, w4p, beta, gamma, alpha, off, offn, offi, n
+            pre, polys, beta, gamma, alpha, off, offn, offi, n
         ),
         in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
     )
@@ -611,7 +627,7 @@ class Prover:
         try:
             _factor(self.group_order, self.config.mesh.shape[self.config.mesh_axis])
             return True
-        except AssertionError:
+        except ValueError:
             return False
 
     def _round_3_sharded(self, polys) -> Message3:

@@ -146,8 +146,9 @@ class VerificationKey:
                 ]
             ),
         )
-        assert lhs == rhs, "pairing check failed"
-        return True
+        # Explicit boolean result (reference verifier.py:72 contract) — an
+        # `assert` would vanish under `python -O` and accept any proof.
+        return lhs == rhs
 
     # -- unoptimized: explicit R reconstruction, two pairing checks -------
     def verify_proof_unoptimized(self, group_order: int, pf, public=[]) -> bool:
@@ -215,14 +216,16 @@ class VerificationKey:
                 (G1, -(v**5) * s2_ev),
             ]
         )
-        assert pairing(G2, agg) == pairing(
+        if pairing(G2, agg) != pairing(
             pt_add(self.X_2, ec_mul(G2, -zeta)), proof["W_z_1"]
-        ), "opening check at zeta failed"
+        ):
+            return False  # opening check at zeta failed
 
         # Check 2: the opening of Z at zeta*omega.
-        assert pairing(
+        if pairing(
             G2, ec_lincomb([(proof["z_1"], 1), (G1, -zw_ev)])
-        ) == pairing(
+        ) != pairing(
             pt_add(self.X_2, ec_mul(G2, -zeta * self.w)), proof["W_zw_1"]
-        ), "opening check at zeta*omega failed"
+        ):
+            return False  # opening check at zeta*omega failed
         return True
