@@ -109,20 +109,11 @@ class Setup:
         one = jnp.asarray(_fq.ONE_MONT)[:, None, None]
         gz = (one * flag[None]).astype(jnp.uint32)
 
-        cur = (gx, gy, gz)
-        width = 32
-        add_fn = _curve.jac_add
-        if jax.default_backend() == "tpu":
-            from .ops import pallas_mont as _pm
-
-            add_fn = _pm.jac_add
-        while width > 1:
-            half = width // 2
-            cur = add_fn(
-                tuple(c[..., :half] for c in cur),
-                tuple(c[..., half:width] for c in cur),
-            )
-            width = half
+        # Fixed-shape halving fold over the 32 windows: ONE compiled
+        # jac_add body serves every level (a manual width-halving loop
+        # compiled 5 distinct shapes; each remote TPU compile costs tens
+        # of seconds through the tunnel and dominated SRS generation).
+        cur = jax.jit(_curve.jac_fold_sum)((gx, gy, gz))
         ax, ay = affine_from_jacobian(*cur)
         ax = np.asarray(_fq.canon(ax))
         ay = np.asarray(_fq.canon(ay))

@@ -340,6 +340,15 @@ def _msm_kernel(preX, preY, preZ, digits):
 
 _msm_jit = jax.jit(_msm_kernel)
 
+# Batched MSM: many digit vectors over one shared base table, one dispatch.
+_msm_many_jit = jax.jit(
+    jax.vmap(
+        lambda x, y, z, d: jnp.stack(_msm_kernel(x, y, z, d), axis=0),
+        in_axes=(None, None, None, 0),
+        out_axes=2,
+    )
+)
+
 
 class FixedBaseMSM:
     """Fixed-base MSM context over the SRS G1 powers (the KZG commit engine).
@@ -473,6 +482,31 @@ class FixedBaseMSM:
     def commit_mont(self, coeffs_mont):
         """MSM -> host affine point (or None for the zero polynomial)."""
         return jac_to_affine_host(self.msm_mont(coeffs_mont))
+
+    def commit_many_mont(self, coeffs_mont):
+        """Batched commits: [16, M, n] Montgomery coeffs -> M affine points.
+
+        XLA path: ONE vmapped MSM dispatch for all M commitments (the
+        BatchProver's per-instance Python loop was M x 9 sequential
+        dispatches).  Pallas path: the run-scan kernel is single-problem,
+        so it loops — digits still batch into one dispatch.
+        """
+        m = coeffs_mont.shape[-1]
+        count = coeffs_mont.shape[1]
+        assert m <= self.n, "polynomial degree exceeds SRS size"
+        if self.use_pallas and 32 * m >= 8192:
+            return [
+                self.commit_mont(coeffs_mont[:, i, :]) for i in range(count)
+            ]
+        self._build_jacobian()
+        preX, preY, preZ = self._bases_for(m)
+        digits = jax.vmap(_coeff_digits, in_axes=1)(coeffs_mont)  # [M, 32m]
+        X, Y, Z = _msm_many_jit(preX, preY, preZ, digits)  # each [16, M]
+        Xh, Yh, Zh = (np.asarray(c) for c in (X, Y, Z))
+        return [
+            jac_to_affine_host((Xh[:, i], Yh[:, i], Zh[:, i]))
+            for i in range(count)
+        ]
 
 
 def msm_variable_base(points, scalars_mont):

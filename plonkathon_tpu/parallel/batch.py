@@ -73,17 +73,19 @@ class BatchProver:
         return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _extract_points(self, out, b: int, count: int):
-        """Round-kernel commit output -> per-instance host affine points.
+        """Round-kernel coefficient stacks [B, 16, count, n] -> per-instance
+        host affine points.
 
-        XLA path: Jacobian points from inside the jit.  Pallas path
-        (pre=None): monomial coefficient stacks [B, 16, count, n] committed
-        here through ops/msm2.
+        All B*count commitments go through ONE batched MSM dispatch
+        (FixedBaseMSM.commit_many_mont) instead of a B x count Python loop
+        of sequential dispatches.
         """
         eng = self.setup.msm_engine
-        return [
-            [eng.commit_mont(out[i][:, j, :]) for j in range(count)]
-            for i in range(b)
-        ]
+        stack = jnp.transpose(out, (1, 0, 2, 3)).reshape(
+            NLIMBS, b * count, -1
+        )
+        pts = eng.commit_many_mont(stack)
+        return [pts[i * count : (i + 1) * count] for i in range(b)]
 
     def prove_batch(self, witnesses: list[dict]) -> list[Proof]:
         n = self.group_order

@@ -297,28 +297,21 @@ def _round4_kernel(values, xs, n: int):
     return _barycentric_batch(values, xs, n)
 
 
-def _round5_kernel(
-    pre, bigs, t_lagrange, xvals,
+def _linearization_impl(
+    bigs_flat, t1, t2, t3, xvals,
     a_ev, b_ev, c_ev, s1_ev, s2_ev, zw_ev,
     pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
     beta, gamma, alpha, zeta, zeta_w, v,
-    offset, offset_inv,
-    n: int,
 ):
+    """Elementwise round-5 core: (R, W_z, W_zw) values on the 4n coset.
+
+    Purely pointwise over the last axis, so it is layout-agnostic: the
+    single-device prover feeds natural-order [16, 4n] arrays, the sharded
+    prover feeds the four-step-permuted per-device flats — as long as every
+    input (incl. xvals) shares the layout, the outputs come back in it.
+    """
     S = lambda x: x[:, None]  # noqa: E731
-    (a, b, c, _pi, ql, qr, qm, qo, qc, z, _zs, s1, s2, s3, _l0) = [
-        bigs[:, i, :] for i in range(15)
-    ]
-    # Expand T1..T3 to the coset (batched).
-    tc = _ntt_impl(t_lagrange, n, inverse=True)
-    pw = _ntt.scalar_powers_impl(offset, n)
-    padded = jnp.concatenate(
-        [fr.mul(tc, pw[:, None, :]),
-         jnp.zeros((NLIMBS, 3, 3 * n), dtype=jnp.uint32)],
-        axis=2,
-    )
-    t_big = _ntt_impl(padded, 4 * n, inverse=False)
-    t1, t2, t3 = (t_big[:, i, :] for i in range(3))
+    (a, b, c, _pi, ql, qr, qm, qo, qc, z, _zs, s1, s2, s3, _l0) = bigs_flat
 
     beta_, gamma_, alpha_, zeta_ = S(beta), S(gamma), S(alpha), S(zeta)
     ab = fr.mul(S(a_ev), S(b_ev))
@@ -359,6 +352,34 @@ def _round5_kernel(
     w_z = fr.mul(acc, fr.inv(fr.sub(xvals, S(zeta))))
     w_zw = fr.mul(
         fr.sub(z, S(zw_ev)), fr.inv(fr.sub(xvals, S(zeta_w)))
+    )
+    return r_big, w_z, w_zw
+
+
+def _round5_kernel(
+    pre, bigs, t_lagrange, xvals,
+    a_ev, b_ev, c_ev, s1_ev, s2_ev, zw_ev,
+    pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
+    beta, gamma, alpha, zeta, zeta_w, v,
+    offset, offset_inv,
+    n: int,
+):
+    # Expand T1..T3 to the coset (batched).
+    tc = _ntt_impl(t_lagrange, n, inverse=True)
+    pw = _ntt.scalar_powers_impl(offset, n)
+    padded = jnp.concatenate(
+        [fr.mul(tc, pw[:, None, :]),
+         jnp.zeros((NLIMBS, 3, 3 * n), dtype=jnp.uint32)],
+        axis=2,
+    )
+    t_big = _ntt_impl(padded, 4 * n, inverse=False)
+    t1, t2, t3 = (t_big[:, i, :] for i in range(3))
+
+    r_big, w_z, w_zw = _linearization_impl(
+        [bigs[:, i, :] for i in range(15)], t1, t2, t3, xvals,
+        a_ev, b_ev, c_ev, s1_ev, s2_ev, zw_ev,
+        pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
+        beta, gamma, alpha, zeta, zeta_w, v,
     )
     w_z_coeffs = _coset_to_coeffs_impl(w_z, offset_inv, 4 * n)
     w_zw_coeffs = _coset_to_coeffs_impl(w_zw, offset_inv, 4 * n)
@@ -449,6 +470,24 @@ class Prover:
             axis=1,
         )
         self._s_stack = (pk.S1.values, pk.S2.values, pk.S3.values)
+        self._mesh_msm = None
+
+    @property
+    def _mesh_on(self) -> bool:
+        return self.config.mesh is not None and self._mesh_shardable()
+
+    @property
+    def _commit_engine(self):
+        """Mesh-sharded MSM engine in mesh mode, single-device otherwise."""
+        if self._mesh_on:
+            if self._mesh_msm is None:
+                from .parallel.sharded import MeshMSM
+
+                self._mesh_msm = MeshMSM(
+                    self.setup.msm_engine, self.config.mesh, self.config.mesh_axis
+                )
+            return self._mesh_msm
+        return self.setup.msm_engine
 
     @staticmethod
     def _s(x) -> jnp.ndarray:
@@ -468,7 +507,7 @@ class Prover:
     def _commits(self, coeff_stacks, count: int):
         """Round-kernel coefficient output [B, 16, count, n] -> affine points."""
         coeffs = coeff_stacks[0]  # batch entry 0: [16, count, n]
-        eng = self.setup.msm_engine
+        eng = self._commit_engine
         return [eng.commit_mont(coeffs[:, i, :]) for i in range(count)]
 
     def prove(self, witness: dict) -> Proof:
@@ -524,7 +563,15 @@ class Prover:
         self.A = Polynomial(abc[:, 0, :], Basis.LAGRANGE)
         self.B = Polynomial(abc[:, 1, :], Basis.LAGRANGE)
         self.C = Polynomial(abc[:, 2, :], Basis.LAGRANGE)
-        pts = self._jits["r1"](self._pre, abc[None])
+        if self._mesh_on:
+            from .parallel.sharded import sharded_intt
+
+            coeffs = sharded_intt(
+                self.config.mesh, self.config.mesh_axis, abc
+            )
+            pts = coeffs[None]
+        else:
+            pts = self._jits["r1"](self._pre, abc[None])
         a_1, b_1, c_1 = self._commits(pts, 3)
 
         if self.debug:
@@ -541,6 +588,8 @@ class Prover:
 
     # -- round 2: permutation grand product ------------------------------
     def round_2(self) -> Message2:
+        if self._mesh_on:
+            return self._round_2_sharded()
         z_vals, z_last, pts = self._jits["r2"](
             self._pre,
             self.A.values[None],
@@ -556,6 +605,28 @@ class Prover:
             )
         self.Z = Polynomial(z_vals[0], Basis.LAGRANGE)
         (z_1,) = self._commits(pts, 1)
+        return Message2(z_1)
+
+    def _round_2_sharded(self) -> Message2:
+        """Round 2 with the grand product length-sharded: local prefix scans
+        + one all_gather carry + one ppermute boundary shift."""
+        from .parallel.sharded import sharded_round2, sharded_intt
+
+        mesh, axis = self.config.mesh, self.config.mesh_axis
+        stack = jnp.stack(
+            [self.A.values, self.B.values, self.C.values, *self._s_stack],
+            axis=1,
+        )
+        z, z_last = sharded_round2(
+            mesh, axis, stack, self._s(self.beta)[0], self._s(self.gamma)[0]
+        )
+        if self.debug:
+            assert fr.from_mont_host(np.asarray(z_last)) == 1, (
+                "grand product does not close"
+            )
+        self.Z = Polynomial(z, Basis.LAGRANGE)
+        coeffs = sharded_intt(mesh, axis, z[:, None, :])
+        (z_1,) = self._commits(coeffs[None], 1)
         return Message2(z_1)
 
     # -- round 3: quotient polynomial ------------------------------------
@@ -642,22 +713,24 @@ class Prover:
         off = self.fft_cofactor
         from .parallel.sharded import sharded_round3
 
-        bigs, xvals, quot, qcoeffs = sharded_round3(
+        r3 = sharded_round3(
             self.config.mesh, self.config.mesh_axis, polys,
             self._s(self.beta)[0], self._s(self.gamma)[0],
             self._s(self.alpha)[0], off,
         )
+        qcoeffs = r3.qcoeffs
         t_coeffs = qcoeffs[:, : 3 * n].reshape(NLIMBS, 3, n)
-        t_lag = _ntt_impl(t_coeffs, n, inverse=False)
+        t_lag = _ntt.ntt(t_coeffs)  # jitted forward NTT
         self._t_lag = t_lag[None]
-        self._bigs = bigs[None]
-        self._xvals = xvals[None]
+        self._bigs = r3.bigs[None]
+        self._xvals = r3.xvals[None]
+        self._r3_permuted = (r3.bigs_p, r3.xvals_p)
 
         if self.debug:
             tail = fr.from_mont_host_many(np.asarray(qcoeffs[:, 3 * n :]))
             assert tail == [0] * n, "quotient degree >= 3n"
 
-        eng = self.setup.msm_engine
+        eng = self._commit_engine
         t_lo_1, t_mid_1, t_hi_1 = (
             eng.commit_mont(t_coeffs[:, i, :]) for i in range(3)
         )
@@ -679,7 +752,14 @@ class Prover:
         xs = jnp.stack(
             [self._s(zeta)[0]] * 5 + [self._s(zeta * root)[0]], axis=1
         )
-        evs = self._jits["r4"](values[None], xs[None])
+        if self._mesh_on:
+            from .parallel.sharded import sharded_round4
+
+            evs = sharded_round4(
+                self.config.mesh, self.config.mesh_axis, values, xs
+            )[None]
+        else:
+            evs = self._jits["r4"](values[None], xs[None])
         evals = [Fr(v) for v in fr.from_mont_host_many(np.asarray(evs[0]))]
         (
             self.a_eval, self.b_eval, self.c_eval,
@@ -689,6 +769,8 @@ class Prover:
 
     # -- round 5: linearization + opening proofs --------------------------
     def round_5(self) -> Message5:
+        if self._mesh_on and getattr(self, "_r3_permuted", None) is not None:
+            return self._round_5_sharded()
         n = self.group_order
         zeta = self.zeta
         root = Fr.root_of_unity(n)
@@ -724,6 +806,56 @@ class Prover:
             ), "W_zw degree >= n"
 
         W_z_1, W_zw_1 = self._commits(pts, 2)
+        return Message5(W_z_1, W_zw_1)
+
+    def _round_5_sharded(self) -> Message5:
+        """Round 5 with every NTT and the linearization length-sharded.
+
+        Consumes the permuted sharded arrays kept by `_round_3_sharded`, so
+        the linearization runs directly in the four-step layout with zero
+        re-permutation traffic; bit-identical to the single-device path.
+        """
+        from .parallel.sharded import sharded_round5
+
+        n = self.group_order
+        zeta = self.zeta
+        root = Fr.root_of_unity(n)
+        off = self.fft_cofactor
+        zh_ev = zeta**n - 1
+        l0_ev = zh_ev / (n * (zeta - 1))
+        pi_ev = self.PI.barycentric_eval(zeta)
+
+        bigs_p, xvals_p = self._r3_permuted
+        s = lambda x: self._s(x)[0]  # noqa: E731
+        scalars = (
+            s(self.a_eval), s(self.b_eval), s(self.c_eval),
+            s(self.s1_eval), s(self.s2_eval), s(self.z_shifted_eval),
+            s(pi_ev), s(l0_ev), s(zh_ev),
+            s(zeta**n), s(zeta ** (2 * n)),
+            s(self.beta), s(self.gamma), s(self.alpha),
+            s(zeta), s(zeta * root), s(self.v),
+        )
+        r_big, w_z_coeffs, w_zw_coeffs = sharded_round5(
+            self.config.mesh, self.config.mesh_axis,
+            bigs_p, xvals_p, self._t_lag[0], scalars, off,
+        )
+
+        if self.debug:
+            r_coeffs = Polynomial(
+                r_big, Basis.LAGRANGE
+            ).coset_extended_lagrange_to_coeffs(off)
+            r_poly = Polynomial(r_coeffs.values[:, :n], Basis.MONOMIAL).fft()
+            assert r_poly.barycentric_eval(zeta) == 0, "R(zeta) != 0"
+            assert fr.from_mont_host_many(np.asarray(w_z_coeffs[:, n:])) == [0] * (
+                3 * n
+            ), "W_z degree >= n"
+            assert fr.from_mont_host_many(np.asarray(w_zw_coeffs[:, n:])) == [0] * (
+                3 * n
+            ), "W_zw degree >= n"
+
+        eng = self._commit_engine
+        W_z_1 = eng.commit_mont(w_z_coeffs[:, :n])
+        W_zw_1 = eng.commit_mont(w_zw_coeffs[:, :n])
         return Message5(W_z_1, W_zw_1)
 
     # -- reference-compatible helpers -------------------------------------
