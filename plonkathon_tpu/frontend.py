@@ -102,6 +102,10 @@ class Constraint:
     def selectors(self) -> tuple[Fr, Fr, Fr, Fr, Fr]:
         """(qL, qR, qM, qO, qC) for this row."""
         w, c = self.wires, self.coeffs
+        if c.get("$cube"):
+            # Custom cube row: the whole equation is q_cube*(A^3) + qO*C = 0
+            # with q_cube = -1 (see `qcube`); vanilla selectors stay zero.
+            return Fr(0), Fr(0), Fr(0), Fr(c.get("$output_coeff", 1)), Fr(0)
         ql = Fr(-c.get(w.L, 0))
         qr = Fr(-c.get(w.R, 0)) if w.R != w.L else Fr(0)
         qm = (
@@ -113,10 +117,33 @@ class Constraint:
         qc = Fr(-c.get("", 0))
         return ql, qr, qm, qo, qc
 
+    def qcube(self) -> Fr:
+        """Custom-gate selector (TurboPlonK extension, README.md:29-31 of
+        the reference's extension track): -1 on cube rows, 0 elsewhere.
+        Row equation gains q_cube * A^3, so -A^3 + C = 0 <=> C = A^3."""
+        return Fr(-1) if self.coeffs.get("$cube") else Fr(0)
 
-def parse_constraint(line: str) -> Constraint:
-    """One source line -> Constraint (reference compiler/assembly.py:122-166)."""
+
+def parse_constraint(line: str, custom_gates: bool = False) -> Constraint:
+    """One source line -> Constraint (reference compiler/assembly.py:122-166).
+
+    With `custom_gates=True`, `out <== x * x * x` compiles to ONE custom
+    cube-gate row (the vanilla grammar rejects degree-3 terms; without the
+    flag it takes three rows: x2 = x*x, x3 = x2*x)."""
     tokens = line.rstrip("\n").split(" ")
+    if (
+        custom_gates
+        and len(tokens) == 7
+        and tokens[1] == "<=="
+        and tokens[3] == tokens[5] == "*"
+        and tokens[2] == tokens[4] == tokens[6]
+        and is_valid_variable_name(tokens[0])
+        and is_valid_variable_name(tokens[2])
+    ):
+        return Constraint(
+            Wires(tokens[2], tokens[2], tokens[0]),
+            {"$cube": True, "$output_coeff": 1},
+        )
     if len(tokens) > 1 and tokens[1] in ("<==", "==="):
         out = tokens[0]
         coeffs = parse_expression(tokens[2:])
@@ -153,7 +180,11 @@ def parse_constraint(line: str) -> Constraint:
 
 @dataclass
 class CommonPreprocessedInput:
-    """Selector + permutation polynomials (reference compiler/program.py:10-30)."""
+    """Selector + permutation polynomials (reference compiler/program.py:10-30).
+
+    QCUBE is the optional custom-gate selector (TurboPlonK extension);
+    None for vanilla circuits, keeping the 8-commitment VK layout and
+    snarkjs vkey compatibility untouched."""
 
     group_order: int
     QM: Polynomial
@@ -164,20 +195,36 @@ class CommonPreprocessedInput:
     S1: Polynomial
     S2: Polynomial
     S3: Polynomial
+    QCUBE: Optional[Polynomial] = None
 
 
 class Program:
     """A compiled constraint system over a power-of-two evaluation domain."""
 
-    def __init__(self, constraints: list[str], group_order: int):
+    def __init__(
+        self, constraints: list[str], group_order: int,
+        custom_gates: bool = False,
+    ):
         if len(constraints) > group_order:
             raise ValueError("group order too small for constraint count")
         self.group_order = group_order
-        self.constraints = [parse_constraint(line) for line in constraints]
+        self.custom_gates = custom_gates
+        self.constraints = [
+            parse_constraint(line, custom_gates) for line in constraints
+        ]
+
+    @property
+    def has_custom_gates(self) -> bool:
+        return any(c.coeffs.get("$cube") for c in self.constraints)
 
     @classmethod
-    def from_str(cls, source: str, group_order: int) -> "Program":
-        return cls([line.strip() for line in source.split("\n")], group_order)
+    def from_str(
+        cls, source: str, group_order: int, custom_gates: bool = False
+    ) -> "Program":
+        return cls(
+            [line.strip() for line in source.split("\n")], group_order,
+            custom_gates,
+        )
 
     def wires(self) -> list[Wires]:
         return [c.wires for c in self.constraints]
@@ -247,11 +294,21 @@ class Program:
             Polynomial(s_vals[COL_OUTPUT], Basis.LAGRANGE),
         )
 
+    def make_qcube_polynomial(self) -> Optional[Polynomial]:
+        """Custom cube-gate selector, or None if the circuit has none."""
+        if not self.has_custom_gates:
+            return None
+        vals = [Fr(0)] * self.group_order
+        for i, c in enumerate(self.constraints):
+            vals[i] = c.qcube()
+        return Polynomial(vals, Basis.LAGRANGE)
+
     def common_preprocessed_input(self) -> CommonPreprocessedInput:
         ql, qr, qm, qo, qc = self.make_gate_polynomials()
         s1, s2, s3 = self.make_s_polynomials()
         return CommonPreprocessedInput(
-            self.group_order, qm, ql, qr, qo, qc, s1, s2, s3
+            self.group_order, qm, ql, qr, qo, qc, s1, s2, s3,
+            QCUBE=self.make_qcube_polynomial(),
         )
 
     # -- witness generation ----------------------------------------------
@@ -264,6 +321,16 @@ class Program:
             w, coeffs = c.wires, c.coeffs
             out_coeff = coeffs.get("$output_coeff", 1)
             if w.O is None or out_coeff not in (-1, 1):
+                continue
+            if coeffs.get("$cube"):
+                value = out[w.L] * out[w.L] * out[w.L] * out_coeff
+                if w.O in out:
+                    if out[w.O] != value:
+                        raise ValueError(
+                            f"constraint violated: {w.O} = {out[w.O]} vs {value}"
+                        )
+                else:
+                    out[w.O] = value
                 continue
             pk = product_key(w.L, w.R)
             value = (

@@ -195,4 +195,7 @@ class Setup:
             S3=self.commit(pk.S3),
             X_2=self.X2,
             w=Fr.root_of_unity(pk.group_order),
+            Qcube=(
+                self.commit(pk.QCUBE) if pk.QCUBE is not None else None
+            ),
         )

@@ -176,9 +176,13 @@ def _coset_x_impl(offset, offset_n, qroots, w4p):
 
 def _quotient_impl(
     a, b, c, pi, ql, qr, qm, qo, qc, z, zs, s1, s2, s3, l0, xvals, zh_inv,
-    beta, gamma, alpha,
+    beta, gamma, alpha, qcube=None,
 ):
-    """QUOT on the 4n coset (all inputs coset-extended, [16, 4n])."""
+    """QUOT on the 4n coset (all inputs coset-extended, [16, 4n]).
+
+    `qcube` (optional): the custom cube-gate selector on the coset; adds
+    the TurboPlonK term q_cube * A^3 to the gate polynomial (degree
+    4n-4 — still inside the 4n evaluation domain)."""
     beta = beta[:, None]
     gamma = gamma[:, None]
     alpha = alpha[:, None]
@@ -189,6 +193,8 @@ def _quotient_impl(
         ),
         fr.add(pi, qc),
     )
+    if qcube is not None:
+        gate = fr.add(gate, fr.mul(qcube, fr.mul(fr.mul(a, a), a)))
     x2 = fr.add(xvals, xvals)
     x3 = fr.add(x2, xvals)
     num = fr.mul(
@@ -261,11 +267,11 @@ def _round2_kernel(pre, a, b, c, s1, s2, s3, beta, gamma, n: int):
 
 def _round3_kernel(
     pre, polys, beta, gamma, alpha, offset, offset_n, offset_inv,
-    n: int,
+    n: int, custom: bool = False,
 ):
-    """polys: [16, 15, n] = (a, b, c, pi, ql, qr, qm, qo, qc, z, zshift,
-    s1, s2, s3, l0).  Returns (t commitments, T lagrange stack, big stack,
-    xvals, quot values)."""
+    """polys: [16, 15(+1), n] = (a, b, c, pi, ql, qr, qm, qo, qc, z, zshift,
+    s1, s2, s3, l0[, qcube]).  Returns (t commitments, T lagrange stack,
+    big stack, xvals, quot values)."""
     qroots, w4p = _coset_x_consts_impl(n)
     # Batched coset extension of all 15 polynomials at once.
     coeffs = _ntt_impl(polys, n, inverse=True)
@@ -279,10 +285,11 @@ def _round3_kernel(
     (a, b, c, pi, ql, qr, qm, qo, qc, z, zs, s1, s2, s3, l0) = [
         bigs[:, i, :] for i in range(15)
     ]
+    qcube = bigs[:, 15, :] if custom else None
     xvals, zh_inv, _zh = _coset_x_impl(offset, offset_n, qroots, w4p)
     quot = _quotient_impl(
         a, b, c, pi, ql, qr, qm, qo, qc, z, zs, s1, s2, s3, l0,
-        xvals, zh_inv, beta, gamma, alpha,
+        xvals, zh_inv, beta, gamma, alpha, qcube=qcube,
     )
     qcoeffs = _coset_to_coeffs_impl(quot, offset_inv, 4 * n)  # [16, 4n]
     t_coeffs = qcoeffs[:, : 3 * n].reshape(NLIMBS, 3, n)
@@ -302,6 +309,7 @@ def _linearization_impl(
     a_ev, b_ev, c_ev, s1_ev, s2_ev, zw_ev,
     pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
     beta, gamma, alpha, zeta, zeta_w, v,
+    qcube=None, cube_ev=None,
 ):
     """Elementwise round-5 core: (R, W_z, W_zw) values on the 4n coset.
 
@@ -311,7 +319,7 @@ def _linearization_impl(
     input (incl. xvals) shares the layout, the outputs come back in it.
     """
     S = lambda x: x[:, None]  # noqa: E731
-    (a, b, c, _pi, ql, qr, qm, qo, qc, z, _zs, s1, s2, s3, _l0) = bigs_flat
+    (a, b, c, _pi, ql, qr, qm, qo, qc, z, _zs, s1, s2, s3, _l0) = bigs_flat[:15]
 
     beta_, gamma_, alpha_, zeta_ = S(beta), S(gamma), S(alpha), S(zeta)
     ab = fr.mul(S(a_ev), S(b_ev))
@@ -319,6 +327,9 @@ def _linearization_impl(
         fr.add(fr.add(fr.mul(qm, ab), fr.mul(ql, S(a_ev))), fr.mul(qr, S(b_ev))),
         fr.add(fr.mul(qo, S(c_ev)), fr.add(S(pi_ev), qc)),
     )
+    if qcube is not None:
+        # TurboPlonK custom cube gate: R gains QCUBE * a_eval^3.
+        gate = fr.add(gate, fr.mul(qcube, S(cube_ev)))
     zf = fr.mul(
         fr.mul(
             fr.mul(
@@ -362,7 +373,7 @@ def _round5_kernel(
     pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
     beta, gamma, alpha, zeta, zeta_w, v,
     offset, offset_inv,
-    n: int,
+    n: int, custom: bool = False, cube_ev=None,
 ):
     # Expand T1..T3 to the coset (batched).
     tc = _ntt_impl(t_lagrange, n, inverse=True)
@@ -380,6 +391,8 @@ def _round5_kernel(
         a_ev, b_ev, c_ev, s1_ev, s2_ev, zw_ev,
         pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
         beta, gamma, alpha, zeta, zeta_w, v,
+        qcube=bigs[:, 15, :] if custom else None,
+        cube_ev=cube_ev,
     )
     w_z_coeffs = _coset_to_coeffs_impl(w_z, offset_inv, 4 * n)
     w_zw_coeffs = _coset_to_coeffs_impl(w_zw, offset_inv, 4 * n)
@@ -389,7 +402,7 @@ def _round5_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _round_jits(n: int):
+def _round_jits(n: int, custom: bool = False):
     """The five fused round kernels for group order n, vmapped over a
     leading batch axis.
 
@@ -409,17 +422,26 @@ def _round_jits(n: int):
     )
     r3 = jax.vmap(
         lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
-            pre, polys, beta, gamma, alpha, off, offn, offi, n
+            pre, polys, beta, gamma, alpha, off, offn, offi, n, custom
         ),
         in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
     )
     r4 = jax.vmap(lambda v, x: _round4_kernel(v, x, n), in_axes=(0, 0))
-    r5 = jax.vmap(
-        lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
-            pre, bigs, t_lag, xv, *scal, n=n
-        ),
-        in_axes=(None,) + (0,) * 22,
-    )
+    if custom:
+        r5 = jax.vmap(
+            lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
+                pre, bigs, t_lag, xv, *scal[:-1], n=n, custom=True,
+                cube_ev=scal[-1],
+            ),
+            in_axes=(None,) + (0,) * 23,
+        )
+    else:
+        r5 = jax.vmap(
+            lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
+                pre, bigs, t_lag, xv, *scal, n=n
+            ),
+            in_axes=(None,) + (0,) * 22,
+        )
     return {
         "r1": jax.jit(r1),
         "r2": jax.jit(r2),
@@ -459,9 +481,11 @@ class Prover:
         self.config = config or ProverConfig(debug_checks=debug)
         self.debug = self.config.debug_checks
         self.timings = Timings()
-        self._jits = _round_jits(self.group_order)
+        self._custom = program.has_custom_gates
+        self._jits = _round_jits(self.group_order, self._custom)
         # Static per-circuit device stacks.
         pk = self.pk
+        self._qcube_vals = pk.QCUBE.values if self._custom else None
         self._selector_stack = jnp.stack(
             [
                 pk.QL.values, pk.QR.values, pk.QM.values, pk.QO.values,
@@ -583,6 +607,8 @@ class Prover:
                 + self.PI
                 + self.pk.QC
             )
+            if self._custom:
+                gate = gate + self.A * self.A * self.A * self.pk.QCUBE
             assert gate == Polynomial.zeros(n), "gate constraints violated"
         return Message1(a_1, b_1, c_1)
 
@@ -646,17 +672,17 @@ class Prover:
             ],
             axis=1,
         )
-        polys = jnp.concatenate(
-            [
-                polys,
-                self._selector_stack,
-                self.Z.values[:, None, :],
-                self.Z.shift(1).values[:, None, :],
-                jnp.stack(self._s_stack, axis=1),
-                l0[:, None, :],
-            ],
-            axis=1,
-        )  # [16, 15, n]
+        stack = [
+            polys,
+            self._selector_stack,
+            self.Z.values[:, None, :],
+            self.Z.shift(1).values[:, None, :],
+            jnp.stack(self._s_stack, axis=1),
+            l0[:, None, :],
+        ]
+        if self._custom:
+            stack.append(self._qcube_vals[:, None, :])
+        polys = jnp.concatenate(stack, axis=1)  # [16, 15(+1), n]
         if self.config.mesh is not None and self._mesh_shardable():
             return self._round_3_sharded(polys)
         pts, t_lag, bigs, xvals, quot, qcoeffs = self._jits["r3"](
@@ -692,9 +718,14 @@ class Prover:
         return Message3(t_lo_1, t_mid_1, t_hi_1)
 
     def _mesh_shardable(self) -> bool:
-        """Mesh round 3 needs n = n1*n2 with both divisible by the axis size."""
+        """Mesh round 3 needs n = n1*n2 with both divisible by the axis size.
+
+        Custom-gate circuits currently take the single-device round path
+        (the sharded round-3/5 kernels are traced for the 15-poly stack)."""
         from .parallel.sharded import _factor
 
+        if self._custom:
+            return False
         try:
             _factor(self.group_order, self.config.mesh.shape[self.config.mesh_axis])
             return True
@@ -779,6 +810,7 @@ class Prover:
         l0_ev = zh_ev / (n * (zeta - 1))
         pi_ev = self.PI.barycentric_eval(zeta)
 
+        extra = (self._s(self.a_eval**3),) if self._custom else ()
         pts, r_big, w_z_coeffs, w_zw_coeffs = self._jits["r5"](
             self._pre,
             self._bigs,
@@ -792,6 +824,7 @@ class Prover:
             self._s(self.beta), self._s(self.gamma), self._s(self.alpha),
             self._s(zeta), self._s(zeta * root), self._s(self.v),
             self._s(off), self._s(Fr(1) / off),
+            *extra,
         )
 
         if self.debug:

@@ -33,6 +33,9 @@ class VerificationKey:
     S3: tuple  # [S_sigma3(x)]_1
     X_2: tuple  # [x]_2
     w: Fr      # n-th root of unity
+    # Optional custom cube-gate selector commitment (TurboPlonK extension);
+    # None for vanilla circuits (8-commitment snarkjs-compatible layout).
+    Qcube: tuple | None = None
 
     # -- challenge replay -------------------------------------------------
     def compute_challenges(self, proof):
@@ -78,7 +81,8 @@ class VerificationKey:
 
         # D = [R]_1 - r0*G + u*[z]_1
         d_pt = ec_lincomb(
-            [
+            ([(self.Qcube, a_ev**3)] if self.Qcube is not None else [])
+            + [
                 (self.Qm, a_ev * b_ev),
                 (self.Ql, a_ev),
                 (self.Qr, b_ev),
@@ -162,7 +166,8 @@ class VerificationKey:
 
         # Reconstruct [R]_1 exactly as the prover linearized it.
         r_pt = ec_lincomb(
-            [
+            ([(self.Qcube, a_ev**3)] if self.Qcube is not None else [])
+            + [
                 (self.Qm, a_ev * b_ev),
                 (self.Ql, a_ev),
                 (self.Qr, b_ev),
