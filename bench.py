@@ -291,10 +291,35 @@ def section_scaling(rep: Report):
     for line in out.stdout.splitlines():
         if line.startswith("SCALING"):
             _, t1, t2, t8 = line.split()
+            # The virtual mesh SHARES one host's cores across its 8
+            # "devices": total work is fixed, so wall-clock strong scaling
+            # is structurally ~1x there.  It validates the sharded NTT's
+            # correctness + collective overhead, not chip scaling.  Real
+            # multi-chip efficiency is projected from the measured
+            # single-chip NTT time and the four-step's ICI traffic
+            # (one all_to_all: each device exchanges (D-1)/D of its
+            # 16-limb shard; v5e ICI ~45 GB/s/link was used).
+            ntt_ms = rep.extras.get("ntt_2e18_ms")
+            proj = {}
+            if ntt_ms:
+                total_bytes = 16 * (1 << 18) * 4  # limb-major u32 array
+                for d in (2, 8):
+                    compute = (ntt_ms / 1e3) * 1.3 / d  # 4-step ~1.3x flops
+                    comm = (total_bytes / d) * (d - 1) / d / 45e9
+                    base = (ntt_ms / 1e3) * 1.3
+                    proj[f"ntt_scaling_eff_{d}dev_projected"] = round(
+                        base / (d * (compute + comm)), 3
+                    )
             rep.update(
                 ntt_scaling_n=512 * 512,
-                ntt_scaling_eff_2dev=round(float(t1) / (2 * float(t2)), 3),
-                ntt_scaling_eff_8dev=round(float(t1) / (8 * float(t8)), 3),
+                ntt_scaling_virtual_t1_s=round(float(t1), 2),
+                ntt_scaling_virtual_t2_s=round(float(t2), 2),
+                ntt_scaling_virtual_t8_s=round(float(t8), 2),
+                ntt_scaling_virtual_note=(
+                    "virtual devices share one host's cores; wall-clock "
+                    "strong scaling is not measurable on this rig"
+                ),
+                **proj,
             )
             return
     raise RuntimeError(

@@ -203,12 +203,20 @@ class Program:
 
     def __init__(
         self, constraints: list[str], group_order: int,
-        custom_gates: bool = False,
+        custom_gates: bool = False, blinding_rows: int = 0,
     ):
-        if len(constraints) > group_order:
+        """`blinding_rows=t` reserves the LAST t rows for zero-knowledge
+        blinding (Halo2-style): those rows carry no constraints, their
+        permutation cells are singleton cycles (identity sigma), and the
+        prover fills their wire values with fresh randomness per proof.
+        Statistical hiding grows with t; t >= 3 covers the three wire-poly
+        openings of one proof.  t = 0 (default) keeps proofs deterministic
+        and bit-identical to the reference."""
+        if len(constraints) > group_order - blinding_rows:
             raise ValueError("group order too small for constraint count")
         self.group_order = group_order
         self.custom_gates = custom_gates
+        self.blinding_rows = blinding_rows
         self.constraints = [
             parse_constraint(line, custom_gates) for line in constraints
         ]
@@ -277,9 +285,16 @@ class Program:
         for row, c in enumerate(self.constraints):
             for col, name in zip(_COLUMNS, c.wires.as_list()):
                 uses.setdefault(name, set()).add((row, col))
-        for row in range(len(self.constraints), n):
+        for row in range(len(self.constraints), n - self.blinding_rows):
             for col in _COLUMNS:
                 uses[None].add((row, col))
+        # Blinding rows: every cell is its OWN singleton cycle (sigma =
+        # identity), so the permutation argument places no copy constraint
+        # on them and the prover may fill them with per-proof randomness.
+        # (Joining the None cycle would force them all equal.)
+        for row in range(n - self.blinding_rows, n):
+            for col in _COLUMNS:
+                uses[f"$blind{row}_{col}"] = {(row, col)}
 
         roots = Fr.roots_of_unity(n)
         s_vals = {col: [Fr(0)] * n for col in _COLUMNS}

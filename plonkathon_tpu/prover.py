@@ -573,13 +573,29 @@ class Prover:
         if None not in witness:
             witness[None] = 0
         wires = self.program.wires()
-        pad = [0] * (n - len(wires))
-        col = lambda sel: [int(witness[sel(w)]) % FR_MOD for w in wires] + pad  # noqa: E731
+        t = getattr(self.program, "blinding_rows", 0)
+        pad = [0] * (n - t - len(wires))
+        if t:
+            # Per-proof fresh randomness in the reserved rows: selectors
+            # are zero and sigma is the identity there, so any values
+            # satisfy the gate and copy constraints while statistically
+            # hiding the wire polynomials.
+            import secrets
+
+            tails = [
+                [secrets.randbelow(FR_MOD) for _ in range(t)]
+                for _ in range(3)
+            ]
+        else:
+            tails = [[], [], []]
+        col = lambda sel, tail: (  # noqa: E731
+            [int(witness[sel(w)]) % FR_MOD for w in wires] + pad + tail
+        )
         abc = np.stack(
             [
-                fr.to_mont_host_many(col(lambda w: w.L)),
-                fr.to_mont_host_many(col(lambda w: w.R)),
-                fr.to_mont_host_many(col(lambda w: w.O)),
+                fr.to_mont_host_many(col(lambda w: w.L, tails[0])),
+                fr.to_mont_host_many(col(lambda w: w.R, tails[1])),
+                fr.to_mont_host_many(col(lambda w: w.O, tails[2])),
             ],
             axis=1,
         )  # [16, 3, n]
