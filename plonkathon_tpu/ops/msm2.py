@@ -201,15 +201,16 @@ def _suffix_scan_stacked(arr):
 # ---------------------------------------------------------------------------
 
 def _choose_chunks(k):
-    """Chunk count C (multiple of 1024) balancing scan vs fold work.
+    """Chunk count C: fixed at 1024 (one full kernel tile).
 
-    C ~ K/512 keeps the chunk-fold's C*NB Jacobian adds at ~half the
-    run-scan's K mixed-adds; the 1024 floor keeps kernel lanes full and the
-    8192 cap bounds the fold's memory footprint.
+    Measured on a v5e (round 3): the run-scan's time is INVARIANT in C
+    (c=1024/4096/8192 all ~191 ms at K=2M — the kernel is VPU-throughput
+    bound, not depth bound), while the dense bucket fold costs NB*C adds
+    and more than doubles the end-to-end time by c=8192.  So the minimum
+    tile width always wins: 101k pts/s at c=8192 vs 262k at c=1024.
     """
     assert k >= 8192, "msm2 requires at least 8192 digit entries"
-    tgt = min(max(1024, k // 2048), 8192)
-    return min(1 << (tgt - 1).bit_length(), k // 8)
+    return min(1024, k // 8)
 
 
 def _msm_impl(tabx, taby, digits, c, s):
