@@ -45,3 +45,11 @@ def mul_chain_program(n_gates: int, group_order: int) -> Program:
 
 def mul_chain_witness(program: Program, x0: int = 3) -> dict:
     return program.fill_variable_assignments({"x0": x0})
+
+
+def cube_chain_program(n_gates: int, group_order: int) -> Program:
+    """Repeated cubing via TurboPlonK custom cube gates: each row computes
+    x_{i+1} = x_i^3 in ONE gate (three vanilla rows otherwise)."""
+    assert n_gates >= 1
+    lines = [f"x{i+1} <== x{i} * x{i} * x{i}" for i in range(n_gates)]
+    return Program(lines, group_order, custom_gates=True)
