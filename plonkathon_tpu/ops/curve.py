@@ -385,9 +385,12 @@ class FixedBaseMSM:
     def _build_jacobian(self):
         if self.precomp is not None:
             return
-        if self.cache_path is not None:
+        cache = (
+            f"{self.cache_path}.jac{self.n}.npz" if self.cache_path else None
+        )
+        if cache is not None:
             try:
-                data = np.load(self.cache_path)
+                data = np.load(cache)
                 if (
                     int(data["n"]) == self.n
                     and "Z" in data
@@ -403,12 +406,10 @@ class FixedBaseMSM:
         self.precomp = tuple(
             jax.device_put(c) for c in _window_precompute(x, y)
         )
-        if self.cache_path is not None:
+        if cache is not None:
             try:
                 X, Y, Z = (np.asarray(c) for c in self.precomp)
-                np.savez(
-                    self.cache_path, n=self.n, digest=self._digest, X=X, Y=Y, Z=Z
-                )
+                np.savez(cache, n=self.n, digest=self._digest, X=X, Y=Y, Z=Z)
             except OSError:
                 pass
 
@@ -417,7 +418,11 @@ class FixedBaseMSM:
             return
         from . import msm2
 
-        cache = self.cache_path + ".affine.npz" if self.cache_path else None
+        # n in the filename: one srs_cache prefix serves several setup sizes
+        # without the caches evicting each other on every alternation.
+        cache = (
+            f"{self.cache_path}.affine{self.n}.npz" if self.cache_path else None
+        )
         if cache is not None:
             try:
                 data = np.load(cache)
