@@ -253,12 +253,11 @@ def section_proof(rep: Report, setup, pn, label):
 
 
 def section_scaling(rep: Report):
+    # NB: no persistent cache in the CPU subprocess — XLA:CPU AOT cache
+    # entries crash on write AND load in this environment (see conftest).
     code = (
         "import jax;"
         "jax.config.update('jax_platforms','cpu');"
-        "jax.config.update('jax_compilation_cache_dir', %r);"
-        "jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1);"
-        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5);"
         "import time,numpy as np,jax.numpy as jnp;"
         "import sys;sys.path.insert(0, %r);"
         "from plonkathon_tpu.parallel.mesh import make_mesh,NamedSharding,P;"
@@ -275,7 +274,7 @@ def section_scaling(rep: Report):
         "  for _i in range(3): o=sharded_ntt(mesh,'shard',mm)\n"
         "  _=np.asarray(o[:, :1, :1]);res[d]=(time.perf_counter()-t0)/3\n"
         "print('SCALING', res[1], res[2], res[8])"
-    ) % (os.path.join(HERE, ".jax_cache"), HERE)
+    ) % (HERE,)
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

@@ -16,18 +16,14 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent-cache READS are always on (warm starts); WRITES are opt-in via
-# PLONKATHON_CACHE_WRITES=1.  In this environment, long pytest processes
-# abort (SIGABRT/SIGSEGV inside jax's put_executable_and_time) after ~20+
-# cache writes — reproduced three times in round 3, never in short
-# processes.  Seeding the cache is done per test file (fresh process each,
-# see README); the default read-only mode keeps any single long run safe.
-_CACHE_WRITES = os.environ.get("PLONKATHON_CACHE_WRITES", "0") == "1"
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update(
-    "jax_persistent_cache_min_compile_time_secs", 0.2 if _CACHE_WRITES else 1e9
-)
+# NO persistent compilation cache for the CPU test suite.  In this
+# environment the XLA:CPU AOT serialization path is broken both ways:
+# cache WRITES abort long processes (SIGABRT in put_executable_and_time,
+# reproduced 3x) and cache READS can SIGSEGV on deserialization (the
+# cpu_aot_loader logs a compile-machine/host-machine feature mismatch for
+# entries written on THIS host, then crashes loading some of them).  Cold
+# compiles are slow but safe.  The TPU-backend bench keeps its own cache
+# (.jax_cache) — TPU executables round-trip fine.
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
