@@ -103,17 +103,21 @@ def section_msm(rep: Report, rng, setup_big, msm_n):
     # capture inlines them into the HLO as constants (256 MB at n=2^16),
     # which breaks the tunneled remote compile with HTTP 413.
     if platform == "tpu":
-        from plonkathon_tpu.ops import msm2
+        from plonkathon_tpu.ops import msm3
 
-        tabs = engine.affine_tab
-        k = 32 * msm_n
-        c = msm2._choose_chunks(k)
-        s = k // c
+        engine._build_affine16()
+        tabs = engine.affine16_tab
+        k = msm3.NW * msm_n
+        S, C, kpad = msm3._plan(k)
+        T = msm3._pow2_at_least(msm3.NBUCKET + C + 1)
+        T2 = msm3._pow2_at_least(msm3.NBUCKET + T // 16 + 1)
 
         def msm_chain(tabx, taby, cc, reps):
             def body(_, carry):
-                digits = _curve._digits_impl(fr.from_mont(carry))
-                res = msm2._msm_impl(tabx, taby, digits, c=c, s=s)  # [48]
+                key, payload = msm3.signed_digits16(fr.from_mont(carry), msm_n)
+                res, _mm = msm3._msm16_impl(
+                    tabx, taby, key, payload, S=S, C=C, T=T, T2=T2, J=msm3._J
+                )
                 return fr.add(carry, res[:16][:, None])
 
             return jax.lax.fori_loop(0, reps, body, cc)
@@ -190,6 +194,23 @@ def section_selfcheck(rep: Report, rng):
         _limbs._PALLAS_MIN_WIDTH = saved
     want_pt = _curve.jac_to_affine_host(want_jac)
     assert got_pt == want_pt, "pallas MSM != XLA MSM"
+
+    # (c) msm3 (signed 16-bit pipeline) vs msm2 (8-bit pipeline) at its
+    # minimum routed size — closes the chain msm3 == msm2 == XLA.
+    from plonkathon_tpu.ops import msm3
+
+    m3 = _curve.FixedBaseMSM._MSM3_MIN
+    setup3 = Setup.generate(m3, srs_cache=os.path.join(HERE, ".srs_cache"))
+    eng3 = setup3.msm_engine
+    coeffs3 = jnp.asarray(fr.to_mont_host_many(rand_fr(rng, m3)))
+    got3 = eng3.commit_mont(coeffs3)  # routes through msm3
+    eng3._build_affine()
+    digits3 = _curve._coeff_digits(coeffs3)
+    res3 = msm2.msm_fixed_affine(
+        eng3.affine_tab[0], eng3.affine_tab[1], digits3
+    )
+    want3 = _curve.jac_to_affine_host((res3[:16], res3[16:32], res3[32:]))
+    assert got3 == want3, "msm3 != msm2"
     rep.update(pallas_selfcheck="ok")
 
 
@@ -334,9 +355,12 @@ def main():
     platform = jax.default_backend()
 
     # ---- 1. MSM throughput ---------------------------------------------
+    setup_big = None
     try:
         if platform == "tpu":
-            msm_n = 1 << 16
+            # Headline at 2^18: Pippenger rates improve with n and this SRS
+            # is shared with the 2^18 proof section.
+            msm_n = 1 << 18
             rep.note(f"generating synthetic SRS at 2^{msm_n.bit_length()-1}")
             setup_big = Setup.generate(
                 msm_n, srs_cache=os.path.join(HERE, ".srs_cache")
@@ -374,10 +398,13 @@ def main():
     try:
         if platform == "tpu" and _left() > 420:
             pn = 1 << 18
-            rep.note(f"generating synthetic SRS at 2^{pn.bit_length()-1}")
-            setup18 = Setup.generate(
-                pn, srs_cache=os.path.join(HERE, ".srs_cache")
-            )
+            if setup_big is not None and len(setup_big.powers_of_x) == pn:
+                setup18 = setup_big  # shared with the MSM section
+            else:
+                rep.note(f"generating synthetic SRS at 2^{pn.bit_length()-1}")
+                setup18 = Setup.generate(
+                    pn, srs_cache=os.path.join(HERE, ".srs_cache")
+                )
             section_proof(rep, setup18, pn, "n262144")
     except Exception as exc:  # noqa: BLE001
         rep.update(proof18_error=repr(exc)[:300])

@@ -63,6 +63,14 @@ class LookupTranscript:
         self.t.append_message(label, pt[0].n.to_bytes(32, "big"))
         self.t.append_message(label, pt[1].n.to_bytes(32, "big"))
 
+    def bind_statement(self, n: int, t_1):
+        """Absorb the statement (domain size + table commitment) BEFORE any
+        challenge: without this the challenges are independent of the table,
+        enabling adaptive-statement attacks when the table is not fixed
+        out-of-band."""
+        self.t.append_message(b"n", int(n).to_bytes(8, "big"))
+        self._point(b"t_1", t_1)
+
     def _challenge(self, label: bytes) -> Fr:
         while True:
             buf = self.t.challenge_bytes(label, 255)
@@ -173,6 +181,7 @@ def prove_lookup(setup: Setup, table: list[int], witness: list[int]) -> LookupPr
     H2 = _lagrange(h2_v)
 
     transcript = LookupTranscript()
+    transcript.bind_statement(n, _commit(setup, T))
     f_1 = _commit(setup, F)
     beta, gamma = transcript.round_1(f_1)
 
@@ -350,6 +359,7 @@ def verify_lookup(
         t_1 = _commit(setup, T)
 
     transcript = LookupTranscript()
+    transcript.bind_statement(n, t_1)
     beta, gamma = transcript.round_1(proof.f_1)
     alpha = transcript.round_2(proof.h1_1, proof.h2_1, proof.z_1)
     zeta = transcript.round_3(proof.q_1)

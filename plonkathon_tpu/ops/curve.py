@@ -17,6 +17,8 @@ Replaces the reference's per-point Python group ops and multicomb lincomb
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -274,8 +276,23 @@ def _msm_kernel(preX, preY, preZ, digits):
     """
     k = digits.shape[0]
     steps = min(_CHUNK_STEPS, k)
+    pad = (-k) % steps
+    if pad:
+        # Digit-0 pads never contribute (bucket 0 is dropped); reuse the
+        # first base to avoid inventing off-curve points.  Needed for
+        # non-multiple-of-128 coefficient counts (e.g. blinded Z', n+3).
+        digits = jnp.concatenate([digits, jnp.zeros(pad, digits.dtype)])
+        preX = jnp.concatenate(
+            [preX, jnp.broadcast_to(preX[:, :1], (NLIMBS, pad))], axis=1
+        )
+        preY = jnp.concatenate(
+            [preY, jnp.broadcast_to(preY[:, :1], (NLIMBS, pad))], axis=1
+        )
+        preZ = jnp.concatenate(
+            [preZ, jnp.broadcast_to(preZ[:, :1], (NLIMBS, pad))], axis=1
+        )
+        k += pad
     nchunks = k // steps
-    assert nchunks * steps == k, "digit count must be divisible by chunk size"
     nb = 1 << WINDOW_BITS
 
     order = jnp.argsort(digits)
@@ -340,6 +357,16 @@ def _msm_kernel(preX, preY, preZ, digits):
 
 _msm_jit = jax.jit(_msm_kernel)
 
+
+@functools.lru_cache(maxsize=None)
+def _digits16_jit(n_table: int):
+    """Montgomery coeffs [16, m] -> msm3 signed keys/payloads, one dispatch."""
+    from . import msm3
+
+    return jax.jit(
+        lambda c: msm3.signed_digits16(fr.from_mont(c), n_table)
+    )
+
 # Batched MSM: many digit vectors over one shared base table, one dispatch.
 _msm_many_jit = jax.jit(
     jax.vmap(
@@ -375,11 +402,10 @@ class FixedBaseMSM:
         self.cache_path = cache_path
         self._digest = _srs_digest(points)
         self.use_pallas = jax.default_backend() == "tpu"
-        self.precomp = None      # Jacobian tables (XLA path)
-        self.affine_tab = None   # (tabx, taby) affine tables (Pallas path)
-        if self.use_pallas:
-            self._build_affine()
-        else:
+        self.precomp = None       # Jacobian tables (XLA path)
+        self.affine_tab = None    # 8-bit affine tables (msm2 Pallas path)
+        self.affine16_tab = None  # 16-bit affine tables (msm3 Pallas path)
+        if not self.use_pallas:
             self._build_jacobian()
 
     def _build_jacobian(self):
@@ -447,6 +473,38 @@ class FixedBaseMSM:
             except OSError:
                 pass
 
+    def _build_affine16(self):
+        if self.affine16_tab is not None:
+            return
+        from . import msm3
+
+        cache = (
+            f"{self.cache_path}.affine16_{self.n}.npz" if self.cache_path else None
+        )
+        if cache is not None:
+            try:
+                data = np.load(cache)
+                if (
+                    int(data["n"]) == self.n
+                    and str(data.get("digest")) == self._digest
+                ):
+                    self.affine16_tab = tuple(
+                        jax.device_put(jnp.asarray(data[k])) for k in ("AX", "AY")
+                    )
+                    return
+            except (OSError, KeyError, ValueError):
+                pass
+        x, y = points_to_device(self._points)
+        self.affine16_tab = tuple(
+            jax.device_put(c) for c in msm3.build_affine_tables16(x, y)
+        )
+        if cache is not None:
+            try:
+                ax, ay = (np.asarray(c) for c in self.affine16_tab)
+                np.savez(cache, n=self.n, digest=self._digest, AX=ax, AY=ay)
+            except OSError:
+                pass
+
     def precomp_for(self, m: int):
         """Jacobian window tables restricted to the first m bases."""
         self._build_jacobian()
@@ -466,14 +524,31 @@ class FixedBaseMSM:
         idx = self._slice_idx(m)
         return (X[:, idx], Y[:, idx], Z[:, idx])
 
+    _MSM3_MIN = 8192  # smallest m routed to the 16-bit-window pipeline
+
     def msm_mont(self, coeffs_mont):
         """MSM with coefficients given in Montgomery limb form [16, m], m <= n."""
         m = coeffs_mont.shape[-1]
         assert m <= self.n, "polynomial degree exceeds SRS size"
+        if self.use_pallas and m >= self._MSM3_MIN:
+            from . import msm3
+
+            self._build_affine16()
+            key, payload = _digits16_jit(self.n)(coeffs_mont)
+            res, maxmult = msm3.msm_fixed_affine16(
+                self.affine16_tab[0], self.affine16_tab[1], key, payload
+            )
+            if int(maxmult) <= msm3._J:
+                return (
+                    res[:NLIMBS], res[NLIMBS : 2 * NLIMBS], res[2 * NLIMBS :],
+                )
+            # Pathological digit concentration (more same-bucket runs than
+            # the dense gather folds): fall through to the 8-bit pipeline.
         digits = _coeff_digits(coeffs_mont)  # [32 * m] window-major
         if self.use_pallas and 32 * m >= 8192:
             from . import msm2
 
+            self._build_affine()
             tabx, taby = self.affine_tab
             if m != self.n:
                 idx = self._slice_idx(m)

@@ -50,6 +50,14 @@ class BatchProver:
     """Proves B witnesses of one circuit per call, one dispatch per round."""
 
     def __init__(self, setup: Setup, program: Program, mesh=None, axis="shard"):
+        if getattr(program, "blinding_rows", 0):
+            # The batch round kernels zero-pad every row past the wire count
+            # and do not add the Z_H-multiple blinding to Z, so a ZK-configured
+            # circuit would silently emit verifying-but-unblinded proofs.
+            raise ValueError(
+                "BatchProver does not implement ZK blinding; use Prover for "
+                "circuits with blinding_rows > 0"
+            )
         self.setup = setup
         self.program = program
         self.group_order = program.group_order

@@ -267,18 +267,36 @@ def _round2_kernel(pre, a, b, c, s1, s2, s3, beta, gamma, n: int):
 
 def _round3_kernel(
     pre, polys, beta, gamma, alpha, offset, offset_n, offset_inv,
-    n: int, custom: bool = False,
+    n: int, custom: bool = False, zblind=None,
 ):
     """polys: [16, 15(+1), n] = (a, b, c, pi, ql, qr, qm, qo, qc, z, zshift,
     s1, s2, s3, l0[, qcube]).  Returns (t commitments, T lagrange stack,
-    big stack, xvals, quot values)."""
+    big stack, xvals, quot values).
+
+    `zblind` (ZK mode): (dlo, dhi) coefficient deltas [16, P, 3] adding the
+    Z_H-multiple blinding r(X)*(X^n - 1) to Z and Z(wX) post-iNTT — the
+    blinded Z' has degree n+2, so the coefficient stack is extended by 3
+    before the coset lift (wires stay degree n-1 via the reserved random
+    rows, so the quotient degree bound < 3n is unchanged)."""
     qroots, w4p = _coset_x_consts_impl(n)
     # Batched coset extension of all 15 polynomials at once.
     coeffs = _ntt_impl(polys, n, inverse=True)
-    pw = _ntt.scalar_powers_impl(offset, n)
+    if zblind is not None:
+        dlo, dhi = zblind
+        coeffs = jnp.concatenate(
+            [
+                fr.add(coeffs[:, :, :3], dlo),
+                coeffs[:, :, 3:],
+                fr.add(jnp.zeros((NLIMBS, polys.shape[1], 3), jnp.uint32), dhi),
+            ],
+            axis=2,
+        )  # [16, P, n+3]
+    ncoef = coeffs.shape[2]
+    pw = _ntt.scalar_powers_impl(offset, ncoef)
     scaled = fr.mul(coeffs, pw[:, None, :])
     padded = jnp.concatenate(
-        [scaled, jnp.zeros((NLIMBS, polys.shape[1], 3 * n), dtype=jnp.uint32)],
+        [scaled,
+         jnp.zeros((NLIMBS, polys.shape[1], 4 * n - ncoef), dtype=jnp.uint32)],
         axis=2,
     )
     bigs = _ntt_impl(padded, 4 * n, inverse=False)  # [16, 15, 4n]
@@ -373,7 +391,7 @@ def _round5_kernel(
     pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
     beta, gamma, alpha, zeta, zeta_w, v,
     offset, offset_inv,
-    n: int, custom: bool = False, cube_ev=None,
+    n: int, custom: bool = False, cube_ev=None, blind: bool = False,
 ):
     # Expand T1..T3 to the coset (batched).
     tc = _ntt_impl(t_lagrange, n, inverse=True)
@@ -396,13 +414,15 @@ def _round5_kernel(
     )
     w_z_coeffs = _coset_to_coeffs_impl(w_z, offset_inv, 4 * n)
     w_zw_coeffs = _coset_to_coeffs_impl(w_zw, offset_inv, 4 * n)
-    both = jnp.stack([w_z_coeffs[:, :n], w_zw_coeffs[:, :n]], axis=1)
+    # Blinded Z' (degree n+2) pushes the opening quotients to degree n+1.
+    wlen = n + 3 if blind else n
+    both = jnp.stack([w_z_coeffs[:, :wlen], w_zw_coeffs[:, :wlen]], axis=1)
     pts = _commit_many(pre, both, n, from_lagrange=False)
     return pts, r_big, w_z_coeffs, w_zw_coeffs
 
 
 @functools.lru_cache(maxsize=None)
-def _round_jits(n: int, custom: bool = False):
+def _round_jits(n: int, custom: bool = False, blind: bool = False):
     """The five fused round kernels for group order n, vmapped over a
     leading batch axis.
 
@@ -420,25 +440,35 @@ def _round_jits(n: int, custom: bool = False):
         ),
         in_axes=(None, 0, 0, 0, None, None, None, 0, 0),
     )
-    r3 = jax.vmap(
-        lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
-            pre, polys, beta, gamma, alpha, off, offn, offi, n, custom
-        ),
-        in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
-    )
+    if blind:
+        r3 = jax.vmap(
+            lambda pre, polys, beta, gamma, alpha, off, offn, offi, dlo, dhi:
+            _round3_kernel(
+                pre, polys, beta, gamma, alpha, off, offn, offi, n, custom,
+                zblind=(dlo, dhi),
+            ),
+            in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+        )
+    else:
+        r3 = jax.vmap(
+            lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
+                pre, polys, beta, gamma, alpha, off, offn, offi, n, custom
+            ),
+            in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
+        )
     r4 = jax.vmap(lambda v, x: _round4_kernel(v, x, n), in_axes=(0, 0))
     if custom:
         r5 = jax.vmap(
             lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
                 pre, bigs, t_lag, xv, *scal[:-1], n=n, custom=True,
-                cube_ev=scal[-1],
+                cube_ev=scal[-1], blind=blind,
             ),
             in_axes=(None,) + (0,) * 23,
         )
     else:
         r5 = jax.vmap(
             lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
-                pre, bigs, t_lag, xv, *scal, n=n
+                pre, bigs, t_lag, xv, *scal, n=n, blind=blind
             ),
             in_axes=(None,) + (0,) * 22,
         )
@@ -482,7 +512,15 @@ class Prover:
         self.debug = self.config.debug_checks
         self.timings = Timings()
         self._custom = program.has_custom_gates
-        self._jits = _round_jits(self.group_order, self._custom)
+        self._blind = getattr(program, "blinding_rows", 0) > 0
+        if self._blind:
+            # Z gains a Z_H-multiple of degree n+2 (see round_2), so its
+            # commitment and the opening quotients need 3 extra SRS powers.
+            assert setup.msm_engine.n >= self.group_order + 3, (
+                "ZK blinding requires an SRS with at least group_order + 3 "
+                "G1 powers"
+            )
+        self._jits = _round_jits(self.group_order, self._custom, self._blind)
         # Static per-circuit device stacks.
         pk = self.pk
         self._qcube_vals = pk.QCUBE.values if self._custom else None
@@ -646,7 +684,29 @@ class Prover:
                 "grand product does not close"
             )
         self.Z = Polynomial(z_vals[0], Basis.LAGRANGE)
-        (z_1,) = self._commits(pts, 1)
+        if self._blind:
+            # Z' = Z + r(X) * Z_H(X), r of degree 2 with fresh per-proof
+            # randomness: Z' == Z on the domain (all constraints and the
+            # grand-product recurrence are untouched), but the commitment
+            # and the zeta*omega opening become statistically hiding —
+            # random rows alone cannot blind Z because their sigma is the
+            # identity (the num/den ratios there are exactly 1).
+            import secrets
+
+            n = self.group_order
+            self._z_blind = tuple(secrets.randbelow(FR_MOD) for _ in range(3))
+            r0, r1, r2 = self._z_blind
+            coeffs = pts[0][:, 0, :]  # [16, n] monomial, Montgomery
+            dlo = jnp.asarray(
+                fr.to_mont_host_many([FR_MOD - r0, FR_MOD - r1, FR_MOD - r2])
+            )
+            dhi = jnp.asarray(fr.to_mont_host_many([r0, r1, r2]))
+            ext = jnp.concatenate(
+                [fr.add(coeffs[:, :3], dlo), coeffs[:, 3:], dhi], axis=1
+            )  # [16, n+3] = coeffs of Z'
+            z_1 = self._commit_engine.commit_mont(ext)
+        else:
+            (z_1,) = self._commits(pts, 1)
         return Message2(z_1)
 
     def _round_2_sharded(self) -> Message2:
@@ -701,6 +761,21 @@ class Prover:
         polys = jnp.concatenate(stack, axis=1)  # [16, 15(+1), n]
         if self.config.mesh is not None and self._mesh_shardable():
             return self._round_3_sharded(polys)
+        extra = ()
+        if self._blind:
+            # Coefficient deltas of r(X)*Z_H for Z (row 9) and, omega-scaled,
+            # for Z(wX) (row 10); zero for every other stack entry.
+            P = polys.shape[1]
+            root = Fr.root_of_unity(n)
+            r = [Fr(v) for v in self._z_blind]
+            rw = [r[j] * root**j for j in range(3)]
+            dlo = np.zeros((NLIMBS, P, 3), dtype=np.uint32)
+            dhi = np.zeros((NLIMBS, P, 3), dtype=np.uint32)
+            dlo[:, 9, :] = fr.to_mont_host_many([int(-v) % FR_MOD for v in r])
+            dhi[:, 9, :] = fr.to_mont_host_many([int(v) for v in r])
+            dlo[:, 10, :] = fr.to_mont_host_many([int(-v) % FR_MOD for v in rw])
+            dhi[:, 10, :] = fr.to_mont_host_many([int(v) for v in rw])
+            extra = (jnp.asarray(dlo)[None], jnp.asarray(dhi)[None])
         pts, t_lag, bigs, xvals, quot, qcoeffs = self._jits["r3"](
             self._pre,
             polys[None],
@@ -710,6 +785,7 @@ class Prover:
             self._s(off),
             self._s(off**n),
             self._s(Fr(1) / off),
+            *extra,
         )
         self._t_lag = t_lag
         self._bigs = bigs
@@ -737,10 +813,12 @@ class Prover:
         """Mesh round 3 needs n = n1*n2 with both divisible by the axis size.
 
         Custom-gate circuits currently take the single-device round path
-        (the sharded round-3/5 kernels are traced for the 15-poly stack)."""
+        (the sharded round-3/5 kernels are traced for the 15-poly stack),
+        and so do ZK-blinded circuits (the sharded chain does not plumb the
+        Z_H-multiple coefficient deltas)."""
         from .parallel.sharded import _factor
 
-        if self._custom:
+        if self._custom or self._blind:
             return False
         try:
             _factor(self.group_order, self.config.mesh.shape[self.config.mesh_axis])
@@ -808,6 +886,13 @@ class Prover:
         else:
             evs = self._jits["r4"](values[None], xs[None])
         evals = [Fr(v) for v in fr.from_mont_host_many(np.asarray(evs[0]))]
+        if self._blind:
+            # The barycentric kernel evaluates the unblinded Z values; the
+            # published opening is Z'(zeta*w) = Z(zeta*w) + r(zeta*w)*Z_H
+            # with Z_H(zeta*w) = zeta^n - 1.
+            zw = zeta * root
+            r0, r1, r2 = (Fr(v) for v in self._z_blind)
+            evals[5] = evals[5] + (r0 + r1 * zw + r2 * zw * zw) * (zeta**n - 1)
         (
             self.a_eval, self.b_eval, self.c_eval,
             self.s1_eval, self.s2_eval, self.z_shifted_eval,
@@ -845,14 +930,22 @@ class Prover:
 
         if self.debug:
             r_coeffs = Polynomial(r_big[0], Basis.LAGRANGE).coset_extended_lagrange_to_coeffs(off)
-            r_poly = Polynomial(r_coeffs.values[:, :n], Basis.MONOMIAL).fft()
-            assert r_poly.barycentric_eval(zeta) == 0, "R(zeta) != 0"
-            assert fr.from_mont_host_many(np.asarray(w_z_coeffs[0][:, n:])) == [0] * (
-                3 * n
-            ), "W_z degree >= n"
-            assert fr.from_mont_host_many(np.asarray(w_zw_coeffs[0][:, n:])) == [0] * (
-                3 * n
-            ), "W_zw degree >= n"
+            if self._blind:
+                # R has degree n+2 under blinding; Horner over all coeffs.
+                r_at_zeta = Fr(0)
+                for c in reversed(r_coeffs.to_ints()):
+                    r_at_zeta = r_at_zeta * zeta + Fr(c)
+                assert r_at_zeta == 0, "R(zeta) != 0"
+            else:
+                r_poly = Polynomial(r_coeffs.values[:, :n], Basis.MONOMIAL).fft()
+                assert r_poly.barycentric_eval(zeta) == 0, "R(zeta) != 0"
+            wlen = n + 3 if self._blind else n  # blinded Z' raises W degrees
+            assert fr.from_mont_host_many(
+                np.asarray(w_z_coeffs[0][:, wlen:])
+            ) == [0] * (4 * n - wlen), "W_z degree too large"
+            assert fr.from_mont_host_many(
+                np.asarray(w_zw_coeffs[0][:, wlen:])
+            ) == [0] * (4 * n - wlen), "W_zw degree too large"
 
         W_z_1, W_zw_1 = self._commits(pts, 2)
         return Message5(W_z_1, W_zw_1)
