@@ -106,17 +106,17 @@ def section_msm(rep: Report, rng, setup_big, msm_n):
         from plonkathon_tpu.ops import msm3
 
         engine._build_affine16()
-        tabs = engine.affine16_tab
+        tabs = (engine.affine16_tab, engine.affine16_tab)
         k = msm3.NW * msm_n
         S, C, kpad = msm3._plan(k)
-        T = msm3._pow2_at_least(msm3.NBUCKET + C + 1)
-        T2 = msm3._pow2_at_least(msm3.NBUCKET + T // 16 + 1)
+        T = min(msm3._pow2_at_least(msm3.NBUCKET + C + 1), kpad)
+        T2 = min(msm3._pow2_at_least(msm3.NBUCKET + T // 16 + 1), T)
 
-        def msm_chain(tabx, taby, cc, reps):
+        def msm_chain(tabp, _unused, cc, reps):
             def body(_, carry):
                 key, payload = msm3.signed_digits16(fr.from_mont(carry), msm_n)
                 res, _mm = msm3._msm16_impl(
-                    tabx, taby, key, payload, S=S, C=C, T=T, T2=T2, J=msm3._J
+                    tabp, key, payload, S=S, C=C, T=T, T2=T2, J=msm3._J
                 )
                 return fr.add(carry, res[:16][:, None])
 

@@ -404,7 +404,7 @@ class FixedBaseMSM:
         self.use_pallas = jax.default_backend() == "tpu"
         self.precomp = None       # Jacobian tables (XLA path)
         self.affine_tab = None    # 8-bit affine tables (msm2 Pallas path)
-        self.affine16_tab = None  # 16-bit affine tables (msm3 Pallas path)
+        self.affine16_tab = None  # packed 16-bit tables (msm3 Pallas path)
         if not self.use_pallas:
             self._build_jacobian()
 
@@ -479,7 +479,7 @@ class FixedBaseMSM:
         from . import msm3
 
         cache = (
-            f"{self.cache_path}.affine16_{self.n}.npz" if self.cache_path else None
+            f"{self.cache_path}.affine16p_{self.n}.npz" if self.cache_path else None
         )
         if cache is not None:
             try:
@@ -488,20 +488,18 @@ class FixedBaseMSM:
                     int(data["n"]) == self.n
                     and str(data.get("digest")) == self._digest
                 ):
-                    self.affine16_tab = tuple(
-                        jax.device_put(jnp.asarray(data[k])) for k in ("AX", "AY")
-                    )
+                    self.affine16_tab = jax.device_put(jnp.asarray(data["P"]))
                     return
             except (OSError, KeyError, ValueError):
                 pass
         x, y = points_to_device(self._points)
-        self.affine16_tab = tuple(
-            jax.device_put(c) for c in msm3.build_affine_tables16(x, y)
-        )
+        self.affine16_tab = jax.device_put(msm3.build_affine_tables16(x, y))
         if cache is not None:
             try:
-                ax, ay = (np.asarray(c) for c in self.affine16_tab)
-                np.savez(cache, n=self.n, digest=self._digest, AX=ax, AY=ay)
+                np.savez(
+                    cache, n=self.n, digest=self._digest,
+                    P=np.asarray(self.affine16_tab),
+                )
             except OSError:
                 pass
 
@@ -536,7 +534,7 @@ class FixedBaseMSM:
             self._build_affine16()
             key, payload = _digits16_jit(self.n)(coeffs_mont)
             res, maxmult = msm3.msm_fixed_affine16(
-                self.affine16_tab[0], self.affine16_tab[1], key, payload
+                self.affine16_tab, key, payload
             )
             if int(maxmult) <= msm3._J:
                 return (
@@ -562,6 +560,66 @@ class FixedBaseMSM:
     def commit_mont(self, coeffs_mont):
         """MSM -> host affine point (or None for the zero polynomial)."""
         return jac_to_affine_host(self.msm_mont(coeffs_mont))
+
+    def msm_mont_deferred(self, coeffs_mont):
+        """Device-side MSM: ([48] Jacobian limbs, maxmult or None).
+
+        Like `msm_mont` but without any host synchronization — the msm3
+        multiplicity check is returned for the caller to batch-fetch.
+        Used by `commit_batch` to amortize the per-fetch tunnel latency
+        (~30-50 ms each) across all commitments of a prover round."""
+        m = coeffs_mont.shape[-1]
+        assert m <= self.n, "polynomial degree exceeds SRS size"
+        if self.use_pallas and m >= self._MSM3_MIN:
+            from . import msm3
+
+            self._build_affine16()
+            key, payload = _digits16_jit(self.n)(coeffs_mont)
+            res, maxmult = msm3.msm_fixed_affine16(
+                self.affine16_tab, key, payload
+            )
+            return res, maxmult
+        X, Y, Z = self.msm_mont(coeffs_mont)
+        return jnp.concatenate([X, Y, Z], axis=0), None
+
+    def commit_batch(self, coeff_list):
+        """Commit several polynomials with ONE host round trip.
+
+        coeff_list: list of [16, m_i] Montgomery coefficient arrays.
+        Returns host affine points.  Rare msm3 multiplicity overflows are
+        recommitted through the 8-bit pipeline after the batched fetch."""
+        outs = [self.msm_mont_deferred(c) for c in coeff_list]
+        stack = np.asarray(jnp.stack([r for r, _ in outs], axis=0))  # [N, 48]
+        mms = [None if mm is None else int(mm) for _, mm in outs]
+        pts = []
+        for i, (row, mm) in enumerate(zip(stack, mms)):
+            if mm is not None:
+                from . import msm3
+
+                if mm > msm3._J:
+                    pts.append(self._commit_msm2(coeff_list[i]))
+                    continue
+            pts.append(
+                jac_to_affine_host((row[:NLIMBS], row[NLIMBS : 2 * NLIMBS],
+                                    row[2 * NLIMBS :]))
+            )
+        return pts
+
+    def _commit_msm2(self, coeffs_mont):
+        """Commit through the 8-bit Pallas pipeline (msm3 fallback)."""
+        from . import msm2
+
+        m = coeffs_mont.shape[-1]
+        digits = _coeff_digits(coeffs_mont)
+        self._build_affine()
+        tabx, taby = self.affine_tab
+        if m != self.n:
+            idx = self._slice_idx(m)
+            tabx, taby = tabx[:, idx], taby[:, idx]
+        res = msm2.msm_fixed_affine(tabx, taby, digits)
+        return jac_to_affine_host(
+            (res[:NLIMBS], res[NLIMBS : 2 * NLIMBS], res[2 * NLIMBS :])
+        )
 
     def commit_many_mont(self, coeffs_mont):
         """Batched commits: [16, M, n] Montgomery coeffs -> M affine points.

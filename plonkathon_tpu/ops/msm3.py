@@ -1,24 +1,36 @@
-"""Fixed-base Pippenger MSM v3 — signed 16-bit windows, wide incomplete-add
-run-scan, sparse run-end extraction.
+"""Fixed-base Pippenger MSM v3 — signed 16-bit windows, packed wide
+incomplete-add run-scan, sparse run-end extraction.
 
 Replaces the msm2 8-bit pipeline as the large-commit path.  Architecture
-changes (each validated by on-chip microbenchmarks, see docs/PERF.md):
+(each choice validated by on-chip measurement, see docs/PERF.md):
 
 1. **Signed 16-bit windows**: 16 windows (one per 16-bit limb — digit
    extraction is free) with digits recoded into [-2^15, 2^15]; bucket id is
-   |digit| and the base point is negated at gather time when the digit is
-   negative.  Halves the insertion count vs 8-bit windows (16n vs 32n) and
-   halves the window-table memory.
-2. **Wide scan with an incomplete mixed add**: the sorted-run accumulation
-   runs as S chained steps of width C = K/S (C up to 2^17 lanes), each one
-   fused Pallas kernel doing an 11-mul *incomplete* Jacobian+affine add — no
-   infinity or doubling branches.  Safe because every in-run partial sum is
-   a subset sum of distinct SRS multiples: a collision (H = 0) or identity
-   would be a discrete-log relation on the fixed trusted SRS.  Run starts
-   reset the accumulator to the incoming point via a mask select inside the
-   kernel.  Measured ~122M adds/s at width 2^17 vs ~26-46M for the complete
-   madd — and vs ~11M for the old 1024-lane Pallas grid scan.
-3. **Sparse run-end extraction**: with 2^15+1 buckets a dense [NB, C]
+   |digit| and the base point is negated in-kernel when the digit is
+   negative.  Halves the insertion count vs 8-bit windows (16n vs 32n).
+2. **Packed point layout**: table points are stored as 16 u32 rows packing
+   two 16-bit limbs each (x||y = 512 coordinate bits per point).  The
+   dominant pipeline cost is the base gather, and TPU gathers are
+   element-count-bound (~560M gathered u32/s measured, layout-independent),
+   so halving the element count halves the bottleneck: 119 ms vs 276 ms for
+   the unpacked layout at K=2^22.  Kernels unpack/repack in VMEM (a few
+   shifts — free next to the 254-bit multiplies).  Run prefixes, the scan
+   carry, and the merge stage stay packed for the same reason.
+3. **Step-major order via index permutation**: the scan consumes chunk c's
+   elements one per step, which naively requires a [32, C, S] -> [S, 32, C]
+   transpose of the 537 MB point array (~300 ms).  Instead the *index
+   vector* is permuted (16 MB, ~6 ms) so the single gather lands the points
+   directly in step-major order; every scan step then reads a contiguous
+   block.
+4. **Wide scan with an incomplete mixed add**: S chained steps of width
+   C = K/S (up to 2^17 lanes), each one fused Pallas kernel doing an 11-mul
+   *incomplete* Jacobian+affine add — no infinity or doubling branches.
+   Safe because every in-run partial sum is a subset sum of distinct SRS
+   multiples: a collision (H = 0) or an identity would be a discrete-log
+   relation on the fixed trusted SRS.  Run starts reset the accumulator to
+   the incoming point via a mask select inside the kernel.  Measured ~122M
+   adds/s at width 2^17 vs ~11M for the old 1024-lane grid scan.
+5. **Sparse run-end extraction**: with 2^15+1 buckets a dense [NB, C]
    bucket matrix is infeasible, so run ends (<= NB + C of them, a static
    bound) are compacted by a second key sort, merged once more by a short
    Jacobian run-scan, then scattered into a dense [48, 2^15] bucket array
@@ -39,7 +51,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .limbs import fq, NLIMBS
+from .limbs import fq, NLIMBS, LIMB_MASK, LIMB_BITS
 from . import pallas_mont as PM
 from .pallas_mont import KQ, _R, _LANES, _read, _write, _const_limbs
 from .msm2 import jadd_stacked, _fold_stacked, jac_to_affine_batch
@@ -49,10 +61,43 @@ NW = 16                      # 256 / 16 windows == one per 16-bit limb
 NBUCKET = (1 << 15) + 1      # |signed digit| in [0, 2^15]
 _BIG = 1 << 20               # dead-entry key sentinel (> any bucket id)
 _TILE = _R * _LANES
+PACKED_PT = 2 * NLIMBS // 2    # 16 u32 rows per packed affine point
+PACKED_JAC = 3 * NLIMBS // 2   # 24 u32 rows per packed Jacobian point
 
 
 # ---------------------------------------------------------------------------
-# Incomplete point-add kernels (fresh-mask reset, no branches).
+# Limb packing (2 x 16-bit limbs per u32 lane).
+# ---------------------------------------------------------------------------
+
+def _unpack_rows(rows):
+    """k packed [..] arrays -> 2k 16-bit limb arrays (in-kernel or XLA)."""
+    out = []
+    for v in rows:
+        out.append(v & LIMB_MASK)
+        out.append(v >> LIMB_BITS)
+    return out
+
+
+def _pack_rows(limbs):
+    """2k 16-bit limb arrays -> k packed arrays."""
+    return [
+        limbs[2 * i] | (limbs[2 * i + 1] << LIMB_BITS)
+        for i in range(len(limbs) // 2)
+    ]
+
+
+def pack_array(a):
+    """[2k*16lims? ...] XLA-level: [2k, *] u32 limb rows -> [k, *] packed."""
+    return jnp.stack(_pack_rows([a[i] for i in range(a.shape[0])]), axis=0)
+
+
+def unpack_array(p):
+    """XLA-level inverse of `pack_array`."""
+    return jnp.stack(_unpack_rows([p[i] for i in range(p.shape[0])]), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Incomplete point-add kernels (mask bit 0: fresh reset; bit 1: negate q.y).
 # ---------------------------------------------------------------------------
 
 def _kern_madd_inc(k, p, q_aff, fresh):
@@ -104,22 +149,38 @@ def _kern_jadd_inc(k, p, q, fresh):
     return X3, Y3, Z3
 
 
-def _madd_inc_kernel(a_ref, b_ref, f_ref, o_ref):
-    p = (_read(a_ref, 0), _read(a_ref, NLIMBS), _read(a_ref, 2 * NLIMBS))
-    q = (_read(b_ref, 0), _read(b_ref, NLIMBS))
-    X, Y, Z = _kern_madd_inc(KQ, p, q, f_ref[0] != 0)
-    _write(o_ref, 0, X)
-    _write(o_ref, NLIMBS, Y)
-    _write(o_ref, 2 * NLIMBS, Z)
+def _madd_packed_kernel(a_ref, b_ref, m_ref, o_ref):
+    acc = _unpack_rows([a_ref[i] for i in range(PACKED_JAC)])
+    pq = _unpack_rows([b_ref[i] for i in range(PACKED_PT)])
+    x2, y2 = pq[:NLIMBS], pq[NLIMBS:]
+    m = m_ref[0]
+    fresh = (m & 1) != 0
+    neg = (m & 2) != 0
+    # -y = 2p - y (lazy domain); affine y is never 0 on prime-order G1.
+    zero = [jnp.zeros_like(y2[0])] * NLIMBS
+    y2 = KQ.select(neg, KQ.sub(zero, y2), y2)
+    X, Y, Z = _kern_madd_inc(
+        KQ, (acc[: NLIMBS], acc[NLIMBS : 2 * NLIMBS], acc[2 * NLIMBS :]),
+        (x2, y2), fresh,
+    )
+    packed = _pack_rows(X + Y + Z)
+    for i in range(PACKED_JAC):
+        o_ref[i] = packed[i]
 
 
-def _jadd_inc_kernel(a_ref, b_ref, f_ref, o_ref):
-    p = (_read(a_ref, 0), _read(a_ref, NLIMBS), _read(a_ref, 2 * NLIMBS))
-    q = (_read(b_ref, 0), _read(b_ref, NLIMBS), _read(b_ref, 2 * NLIMBS))
-    X, Y, Z = _kern_jadd_inc(KQ, p, q, f_ref[0] != 0)
-    _write(o_ref, 0, X)
-    _write(o_ref, NLIMBS, Y)
-    _write(o_ref, 2 * NLIMBS, Z)
+def _jadd_packed_kernel(a_ref, b_ref, m_ref, o_ref):
+    acc = _unpack_rows([a_ref[i] for i in range(PACKED_JAC)])
+    q = _unpack_rows([b_ref[i] for i in range(PACKED_JAC)])
+    fresh = (m_ref[0] & 1) != 0
+    X, Y, Z = _kern_jadd_inc(
+        KQ,
+        (acc[: NLIMBS], acc[NLIMBS : 2 * NLIMBS], acc[2 * NLIMBS :]),
+        (q[: NLIMBS], q[NLIMBS : 2 * NLIMBS], q[2 * NLIMBS :]),
+        fresh,
+    )
+    packed = _pack_rows(X + Y + Z)
+    for i in range(PACKED_JAC):
+        o_ref[i] = packed[i]
 
 
 @functools.lru_cache(maxsize=None)
@@ -127,15 +188,15 @@ def _inc_call(which, nblocks):
     def spec(rows):
         return pl.BlockSpec((rows, _R, _LANES), lambda i: (0, i, 0))
 
-    qrows = 2 * NLIMBS if which == "madd" else 3 * NLIMBS
-    kern = _madd_inc_kernel if which == "madd" else _jadd_inc_kernel
+    qrows = PACKED_PT if which == "madd" else PACKED_JAC
+    kern = _madd_packed_kernel if which == "madd" else _jadd_packed_kernel
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
-        in_specs=[spec(3 * NLIMBS), spec(qrows), spec(1)],
-        out_specs=spec(3 * NLIMBS),
+        in_specs=[spec(PACKED_JAC), spec(qrows), spec(1)],
+        out_specs=spec(PACKED_JAC),
         out_shape=jax.ShapeDtypeStruct(
-            (3 * NLIMBS, nblocks * _R, _LANES), jnp.uint32
+            (PACKED_JAC, nblocks * _R, _LANES), jnp.uint32
         ),
     )
 
@@ -148,7 +209,7 @@ def signed_digits16(raw, n_table: int):
     """Canonical limbs [16, m] -> (keys [16m] i32, payload [16m] i32).
 
     keys are bucket ids |digit|; payload packs (table index << 1) | sign
-    where table index = w * n_table + i points into the window-major affine
+    where table index = w * n_table + i points into the window-major packed
     tables.  Window-major flattening.
     """
     m = raw.shape[1]
@@ -174,9 +235,10 @@ def signed_digits16(raw, n_table: int):
 
 
 def build_affine_tables16(x, y):
-    """Affine SRS bases [16, n] -> affine tables [16, 16n], window-major.
+    """Affine SRS bases [16, n] -> PACKED affine tables [16, 16n].
 
-    Window w holds 2^(16w) * P_i; 16 fused doublings between windows."""
+    Window w (holding 2^(16w) * P_i, 16 fused doublings apart) lands at
+    columns [w*n, (w+1)*n); row r packs limbs (2r, 2r+1) of x||y."""
     from .curve import jac_from_affine
 
     outs_x, outs_y, outs_z = [], [], []
@@ -190,61 +252,58 @@ def build_affine_tables16(x, y):
     X = jnp.concatenate(outs_x, axis=1)
     Y = jnp.concatenate(outs_y, axis=1)
     Z = jnp.concatenate(outs_z, axis=1)
-    return jac_to_affine_batch(X, Y, Z)
+    ax, ay = jac_to_affine_batch(X, Y, Z)
+    return pack_array(jnp.concatenate([fq.canon(ax), fq.canon(ay)], axis=0))
 
 
 # ---------------------------------------------------------------------------
 # Wide run-scan (sorted keys -> per-run prefix emissions).
 # ---------------------------------------------------------------------------
 
-def _run_scan(pts, kc, S, C, which):
-    """pts: madd -> [32, C, S] affine; jadd -> [48, C, S] Jacobian.
-    kc: [C, S] sorted-within-chunk keys.  Returns ys [S, rows, C] prefixes.
-    """
-    rows = pts.shape[0]
-    fresh = jnp.concatenate(
-        [jnp.ones((C, 1), jnp.bool_), kc[:, 1:] != kc[:, :-1]], axis=1
-    )
+def _run_scan(pts_sm, mask_sm, S, C, which):
+    """pts_sm: [S, rows, C] step-major packed points (madd: 16 rows affine;
+    jadd: 24 rows Jacobian); mask_sm: [S, C] i32 (bit0 fresh, bit1 sign).
+    Returns ys [S, 24, C] packed prefixes."""
+    rows = pts_sm.shape[1]
     xs = (
-        pts.transpose(2, 0, 1).reshape(S, rows, C // _LANES, _LANES),
-        fresh.T.reshape(S, 1, C // _LANES, _LANES).astype(jnp.int32),
+        pts_sm.reshape(S, rows, C // _LANES, _LANES),
+        mask_sm.reshape(S, 1, C // _LANES, _LANES),
     )
     call = _inc_call(which, C // _TILE)
 
     def body(acc, x):
-        pt, fr_ = x
-        acc = call(acc, pt, fr_)
+        pt, mk = x
+        acc = call(acc, pt, mk)
         return acc, acc
 
-    init = jnp.zeros((3 * NLIMBS, C // _LANES, _LANES), jnp.uint32)
+    init = jnp.zeros((PACKED_JAC, C // _LANES, _LANES), jnp.uint32)
     _, ys = jax.lax.scan(body, init, xs)
-    return ys.reshape(S, 3 * NLIMBS, C)
+    return ys.reshape(S, PACKED_JAC, C)
 
 
-def _run_ends(kc, S, C):
-    """(valid run-end mask, ys-flat positions) for chunked keys [C, S]."""
-    ends = jnp.concatenate(
-        [kc[:, 1:] != kc[:, :-1], jnp.ones((C, 1), jnp.bool_)], axis=1
-    )
-    valid = ends & (kc > 0)
-    pos = (
-        jnp.arange(S, dtype=jnp.int32)[None, :] * C
-        + jnp.arange(C, dtype=jnp.int32)[:, None]
-    )
-    return valid, pos
-
-
-def _extract_sorted(ysf, kc, S, C, T):
+def _extract_sorted(ys, ksm, S, C, T):
     """Compact the valid run ends of a scan, sorted by key.
 
-    ysf: [48, S*C] flat prefixes; returns (keys [T] ascending with _BIG
-    tail, pts [48, T])."""
-    valid, pos = _run_ends(kc, S, C)
-    ekey = jnp.where(valid, kc, _BIG).reshape(-1)
-    sk, sp = jax.lax.sort_key_val(ekey, pos.reshape(-1))
+    ys: [S, 24, C] packed prefixes; ksm: [S, C] step-major keys.  Returns
+    (keys [T] ascending with _BIG tail, packed pts [24, T])."""
+    ends = jnp.concatenate(
+        [ksm[1:] != ksm[:-1], jnp.ones((1, C), jnp.bool_)], axis=0
+    )
+    valid = ends & (ksm > 0) & (ksm < _BIG)
+    ekey = jnp.where(valid, ksm, _BIG).reshape(-1)  # flat (s, c) order
+    pos = jnp.arange(S * C, dtype=jnp.int32)
+    sk, sp = jax.lax.sort_key_val(ekey, pos)
     sk = sk[:T]
-    pts = ysf[:, sp[:T]]
+    se = sp[:T] // C
+    ce = sp[:T] % C
+    pts = ys[se, :, ce].T  # [24, T]
     return sk, pts
+
+
+def _step_major(flat, S, C):
+    """[S*C]-flat chunk-major (chunk c = positions [cS, (c+1)S)) ->
+    step-major [S, C]: out[s, c] = flat[c*S + s]."""
+    return flat.reshape(C, S).T
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +316,7 @@ _NB2 = 1 << 15  # dense bucket array covers b in [1, 2^15]
 
 
 def _dense_buckets(keys, pts, J: int):
-    """keys [T] ascending (<= 2^15 real, _BIG tail), pts [48, T] ->
+    """keys [T] ascending (<= 2^15 real, _BIG tail), pts [48, T] unpacked ->
     (dense [48, 2^15] bucket sums for b = 1..2^15, max multiplicity)."""
     T = keys.shape[0]
     bvec = jnp.arange(1, _NB2 + 1, dtype=jnp.int32)
@@ -321,32 +380,44 @@ def _plan(k: int):
     return s, c, s * c
 
 
-def _msm16_impl(tabx, taby, key, payload, S, C, T, T2, J):
-    k = key.shape[0]
+def _msm16_impl(tabp, key, payload, S, C, T, T2, J):
     skey, spay = jax.lax.sort_key_val(key, payload)
-    sidx = spay >> 1
-    sneg = (spay & 1) == 1
-    px = tabx[:, sidx]
-    py = taby[:, sidx]
-    py = jnp.where(sneg[None], fq.sub(jnp.zeros_like(py), py), py)
+    # Step-major permutation of the small arrays; the single packed gather
+    # then produces the scan's layout directly (no big transposes).
+    ksm = _step_major(skey, S, C)
+    psm = _step_major(spay, S, C)
+    sidx = psm >> 1
+    pts_sm = tabp[:, sidx.reshape(-1)].reshape(PACKED_PT, S, C)
+    pts_sm = pts_sm.transpose(1, 0, 2)  # cheap: metadata + small tiles
+    fresh = jnp.concatenate(
+        [jnp.ones((1, C), jnp.bool_), ksm[1:] != ksm[:-1]], axis=0
+    )
+    mask_sm = fresh.astype(jnp.int32) | ((psm & 1) << 1)
 
-    kc = skey.reshape(C, S)
-    pts = jnp.concatenate([px, py], axis=0).reshape(2 * NLIMBS, C, S)
-    ys = _run_scan(pts, kc, S, C, "madd")
-    ysf = ys.transpose(1, 0, 2).reshape(3 * NLIMBS, S * C)
-    k2, p2 = _extract_sorted(ysf, kc, S, C, T)
+    ys = _run_scan(pts_sm, mask_sm, S, C, "madd")
+    k2, p2 = _extract_sorted(ys, ksm, S, C, T)
 
     # One merge round: scan the (sorted) run partials so each bucket's
     # entries collapse to at most a few, then extract again.
     S2 = 16
     C2 = T // S2
-    kc2 = k2.reshape(C2, S2)
-    ys2 = _run_scan(p2.reshape(3 * NLIMBS, C2, S2), kc2, S2, C2, "jadd")
-    ys2f = ys2.transpose(1, 0, 2).reshape(3 * NLIMBS, S2 * C2)
-    k3, p3 = _extract_sorted(ys2f, kc2, S2, C2, T2)
+    k2sm = _step_major(k2, S2, C2)
+    p2sm = _step_major_pts(p2, S2, C2)
+    fresh2 = jnp.concatenate(
+        [jnp.ones((1, C2), jnp.bool_), k2sm[1:] != k2sm[:-1]], axis=0
+    )
+    ys2 = _run_scan(p2sm, fresh2.astype(jnp.int32), S2, C2, "jadd")
+    k3, p3 = _extract_sorted(ys2, k2sm, S2, C2, T2)
 
-    dense, maxmult = _dense_buckets(k3, p3, J)
+    dense, maxmult = _dense_buckets(
+        jnp.where(k3 >= _BIG, _BIG, k3), unpack_array(p3), J
+    )
     return _blelloch_suffix_fold(dense), maxmult
+
+
+def _step_major_pts(p, S, C):
+    """[24, S*C] chunk-major points -> [S, 24, C] step-major (small T)."""
+    return p.reshape(PACKED_JAC, C, S).transpose(2, 0, 1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -360,24 +431,22 @@ def _pow2_at_least(v):
     return 1 << (v - 1).bit_length()
 
 
-def msm_fixed_affine16(tabx, taby, key, payload):
-    """MSM over 16-bit-window affine tables.
+def msm_fixed_affine16(tabp, key, payload):
+    """MSM over packed 16-bit-window affine tables.
 
-    tabx/taby: [16, 16n] window-major; key/payload from `signed_digits16`.
+    tabp: [16, 16n] packed window-major; key/payload from `signed_digits16`.
     Returns ([48] Jacobian limbs, max bucket multiplicity at the dense
-    stage — caller must fall back to a complete path if it exceeds _J
+    stage) — caller must fall back to a complete path if it exceeds _J
     (astronomically unlikely for non-adversarial scalar distributions, and
     merely yields an invalid proof, never a soundness issue)."""
     k = key.shape[0]
     S, C, kpad = _plan(k)
     if kpad != k:
-        key = jnp.concatenate(
-            [key, jnp.zeros(kpad - k, key.dtype)]
-        )
+        key = jnp.concatenate([key, jnp.zeros(kpad - k, key.dtype)])
         payload = jnp.concatenate(
             [payload, jnp.zeros(kpad - k, payload.dtype)]
         )
-    T = _pow2_at_least(NBUCKET + C + 1)
-    T2 = _pow2_at_least(NBUCKET + T // 16 + 1)
-    res, maxmult = _msm16_jit(S, C, T, T2, _J)(tabx, taby, key, payload)
+    T = min(_pow2_at_least(NBUCKET + C + 1), kpad)
+    T2 = min(_pow2_at_least(NBUCKET + T // 16 + 1), T)
+    res, maxmult = _msm16_jit(S, C, T, T2, _J)(tabp, key, payload)
     return res, maxmult

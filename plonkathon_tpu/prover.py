@@ -570,7 +570,12 @@ class Prover:
         """Round-kernel coefficient output [B, 16, count, n] -> affine points."""
         coeffs = coeff_stacks[0]  # batch entry 0: [16, count, n]
         eng = self._commit_engine
-        return [eng.commit_mont(coeffs[:, i, :]) for i in range(count)]
+        clist = [coeffs[:, i, :] for i in range(count)]
+        if hasattr(eng, "commit_batch"):
+            # One host round trip for the whole round's commitments
+            # (per-commit fetches cost ~30-50 ms each over the TPU tunnel).
+            return eng.commit_batch(clist)
+        return [eng.commit_mont(c) for c in clist]
 
     def prove(self, witness: dict) -> Proof:
         transcript = Transcript(b"plonk")
