@@ -17,7 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from .fields import Fr
+from .fields import Fr, FR_MOD
 from .poly import Polynomial, Basis
 
 # Wire columns; the integer value doubles as the permutation coset tag
@@ -175,6 +175,18 @@ def parse_constraint(line: str, custom_gates: bool = False) -> Constraint:
             Wires(tokens[0], None, None),
             {tokens[0]: -1, "$output_coeff": 0, "$public": True},
         )
+    if len(tokens) == 2 and tokens[1] == "lookup":
+        # PlonKup lookup row (reference extension track, README.md:29-37):
+        # `x lookup` asserts the value of x lies in the program's lookup
+        # table.  The row carries NO gate constraint (all selectors zero);
+        # x occupies the A column, so the copy-constraint cycles tie it to
+        # x's other uses, and the lookup selector q_K is 1 on this row.
+        if not is_valid_variable_name(tokens[0]):
+            raise ValueError(f"invalid lookup variable: {tokens[0]}")
+        return Constraint(
+            Wires(tokens[0], None, None),
+            {"$lookup": True, "$output_coeff": 0},
+        )
     raise ValueError(f"unsupported statement: {line!r}")
 
 
@@ -196,6 +208,12 @@ class CommonPreprocessedInput:
     S2: Polynomial
     S3: Polynomial
     QCUBE: Optional[Polynomial] = None
+    # PlonKup lookup extension: selector (1 on lookup rows), the table
+    # polynomial (public table padded to n with its last value), and that
+    # padding value itself (the "dummy" query of non-lookup rows).
+    QK: Optional[Polynomial] = None
+    TBL: Optional[Polynomial] = None
+    t_last: Optional[Fr] = None
 
 
 class Program:
@@ -204,6 +222,7 @@ class Program:
     def __init__(
         self, constraints: list[str], group_order: int,
         custom_gates: bool = False, blinding_rows: int = 0,
+        lookup_table: Optional[list[int]] = None,
     ):
         """`blinding_rows=t` reserves the LAST t rows for zero-knowledge
         blinding (Halo2-style): those rows carry no constraints, their
@@ -220,18 +239,45 @@ class Program:
         self.constraints = [
             parse_constraint(line, custom_gates) for line in constraints
         ]
+        self.lookup_table = (
+            None if lookup_table is None else [x % FR_MOD for x in lookup_table]
+        )
+        if self.has_lookups:
+            if self.lookup_table is None:
+                raise ValueError("lookup rows require a lookup_table")
+            if blinding_rows:
+                raise ValueError(
+                    "ZK blinding of the lookup polynomials (f, h1, h2, Z2) "
+                    "is not implemented; use blinding_rows=0 with lookups"
+                )
+        if self.lookup_table is not None:
+            if not self.lookup_table:
+                raise ValueError("lookup_table must be non-empty")
+            if len(self.lookup_table) > group_order:
+                raise ValueError("lookup_table larger than the group order")
+            # The multiset argument runs over rows 0..n-2 (the last domain
+            # element closes the grand product), so row n-1 cannot host a
+            # lookup query.
+            for i, c in enumerate(self.constraints):
+                if c.coeffs.get("$lookup") and i == group_order - 1:
+                    raise ValueError("lookup row cannot occupy the last row")
 
     @property
     def has_custom_gates(self) -> bool:
         return any(c.coeffs.get("$cube") for c in self.constraints)
 
+    @property
+    def has_lookups(self) -> bool:
+        return any(c.coeffs.get("$lookup") for c in self.constraints)
+
     @classmethod
     def from_str(
-        cls, source: str, group_order: int, custom_gates: bool = False
+        cls, source: str, group_order: int, custom_gates: bool = False,
+        lookup_table: Optional[list[int]] = None,
     ) -> "Program":
         return cls(
             [line.strip() for line in source.split("\n")], group_order,
-            custom_gates,
+            custom_gates, lookup_table=lookup_table,
         )
 
     def wires(self) -> list[Wires]:
@@ -318,12 +364,35 @@ class Program:
             vals[i] = c.qcube()
         return Polynomial(vals, Basis.LAGRANGE)
 
+    def make_lookup_polynomials(self):
+        """(QK, TBL, t_last) for PlonKup circuits, (None, None, None) else.
+
+        QK is 1 exactly on lookup rows; TBL is the public table padded to
+        the group order by repeating its last entry (that entry doubles as
+        the dummy query value of non-lookup rows)."""
+        if not self.has_lookups:
+            return None, None, None
+        n = self.group_order
+        qk = [Fr(0)] * n
+        for i, c in enumerate(self.constraints):
+            if c.coeffs.get("$lookup"):
+                qk[i] = Fr(1)
+        tbl = [Fr(v) for v in self.lookup_table]
+        tbl += [tbl[-1]] * (n - len(tbl))
+        return (
+            Polynomial(qk, Basis.LAGRANGE),
+            Polynomial(tbl, Basis.LAGRANGE),
+            tbl[-1],
+        )
+
     def common_preprocessed_input(self) -> CommonPreprocessedInput:
         ql, qr, qm, qo, qc = self.make_gate_polynomials()
         s1, s2, s3 = self.make_s_polynomials()
+        qk, tbl, t_last = self.make_lookup_polynomials()
         return CommonPreprocessedInput(
             self.group_order, qm, ql, qr, qo, qc, s1, s2, s3,
             QCUBE=self.make_qcube_polynomial(),
+            QK=qk, TBL=tbl, t_last=t_last,
         )
 
     # -- witness generation ----------------------------------------------

@@ -198,4 +198,7 @@ class Setup:
             Qcube=(
                 self.commit(pk.QCUBE) if pk.QCUBE is not None else None
             ),
+            Qk=self.commit(pk.QK) if pk.QK is not None else None,
+            Tbl=self.commit(pk.TBL) if pk.TBL is not None else None,
+            t_last=pk.t_last,
         )

@@ -58,6 +58,13 @@ class BatchProver:
                 "BatchProver does not implement ZK blinding; use Prover for "
                 "circuits with blinding_rows > 0"
             )
+        if getattr(program, "has_lookups", False):
+            # The batch round kernels carry only the 15-row vanilla stack —
+            # proofs would silently omit the lookup argument entirely.
+            raise ValueError(
+                "BatchProver does not implement PlonKup lookups; use Prover "
+                "for circuits with lookup rows"
+            )
         self.setup = setup
         self.program = program
         self.group_order = program.group_order

@@ -73,6 +73,14 @@ class Proof:
         proof["z_shifted_eval"] = self.msg_4.z_shifted_eval
         proof["W_z_1"] = self.msg_5.W_z_1
         proof["W_zw_1"] = self.msg_5.W_zw_1
+        if self.msg_1.f_1 is not None:
+            # PlonKup extension fields (plonkup.py).
+            proof["f_1"] = self.msg_1.f_1
+            proof["h1_1"] = self.msg_1.h1_1
+            proof["h2_1"] = self.msg_1.h2_1
+            proof["z2_1"] = self.msg_2.z2_1
+            for k, val in self.msg_4.lookup_evals.items():
+                proof[f"lk_{k}_eval"] = val
         return proof
 
 
@@ -176,13 +184,19 @@ def _coset_x_impl(offset, offset_n, qroots, w4p):
 
 def _quotient_impl(
     a, b, c, pi, ql, qr, qm, qo, qc, z, zs, s1, s2, s3, l0, xvals, zh_inv,
-    beta, gamma, alpha, qcube=None,
+    beta, gamma, alpha, qcube=None, lookup=None,
 ):
     """QUOT on the 4n coset (all inputs coset-extended, [16, 4n]).
 
     `qcube` (optional): the custom cube-gate selector on the coset; adds
     the TurboPlonK term q_cube * A^3 to the gate polynomial (degree
-    4n-4 — still inside the 4n evaluation domain)."""
+    4n-4 — still inside the 4n evaluation domain).
+
+    `lookup` (optional, PlonKup — plonkup.py module docstring): a dict with
+    the coset-extended lookup polynomials f, t, ts, h1, h1s, h2, h2s, z2,
+    z2s, qk, ln ("s" = omega-shifted) and scalar limbs delta, epsilon,
+    tlast, gl (= w^{n-1}); adds the five plookup identities weighted by
+    alpha^3..alpha^7."""
     beta = beta[:, None]
     gamma = gamma[:, None]
     alpha = alpha[:, None]
@@ -214,7 +228,45 @@ def _quotient_impl(
     perm = fr.mul(alpha, fr.sub(num, den))
     one = jnp.asarray(fr.ONE_MONT)[:, None]
     start = fr.mul(fr.mul(fr.mul(alpha, alpha), fr.sub(z, one)), l0)
-    return fr.mul(fr.add(gate, fr.add(perm, start)), zh_inv)
+    ident = fr.add(gate, fr.add(perm, start))
+    if lookup is not None:
+        lk = lookup
+        delta = lk["delta"][:, None]
+        eps = lk["epsilon"][:, None]
+        od = fr.add(one, delta)                 # 1 + delta
+        ed = fr.mul(eps, od)                    # epsilon * (1 + delta)
+        xm = fr.sub(xvals, lk["gl"][:, None])   # x - w^{n-1}
+        z2m1 = fr.sub(lk["z2"], one)
+        t_a = fr.mul(l0, z2m1)
+        t_b = fr.sub(
+            fr.mul(
+                fr.mul(fr.mul(xm, lk["z2"]), fr.mul(od, fr.add(eps, lk["f"]))),
+                fr.add(fr.add(ed, lk["t"]), fr.mul(delta, lk["ts"])),
+            ),
+            fr.mul(
+                fr.mul(xm, lk["z2s"]),
+                fr.mul(
+                    fr.add(fr.add(ed, lk["h1"]), fr.mul(delta, lk["h1s"])),
+                    fr.add(fr.add(ed, lk["h2"]), fr.mul(delta, lk["h2s"])),
+                ),
+            ),
+        )
+        t_c = fr.mul(lk["ln"], fr.sub(lk["h1"], lk["h2s"]))
+        t_d = fr.mul(lk["ln"], z2m1)
+        # f well-formedness: q_K*(a - f) + (1 - q_K)*(t_last - f).
+        tl = fr.sub(lk["tlast"][:, None], lk["f"])
+        t_e = fr.add(
+            fr.mul(lk["qk"], fr.sub(a, lk["f"])),
+            fr.mul(fr.sub(one, lk["qk"]), tl),
+        )
+        # alpha^3 * (a' + alpha*(b' + alpha*(c' + alpha*(d' + alpha*e'))))
+        ext = fr.add(t_d, fr.mul(alpha, t_e))
+        ext = fr.add(t_c, fr.mul(alpha, ext))
+        ext = fr.add(t_b, fr.mul(alpha, ext))
+        ext = fr.add(t_a, fr.mul(alpha, ext))
+        a3 = fr.mul(fr.mul(alpha, alpha), alpha)
+        ident = fr.add(ident, fr.mul(a3, ext))
+    return fr.mul(ident, zh_inv)
 
 
 def _barycentric_batch(values, xs, n: int):
@@ -265,13 +317,54 @@ def _round2_kernel(pre, a, b, c, s1, s2, s3, beta, gamma, n: int):
     return z, z_last, pts
 
 
+def _lookup_z2_kernel(f, t, h1, h2, delta, epsilon, n: int):
+    """PlonKup round-2 companion: the lookup grand product Z2.
+
+    plookup recurrence over rows 0..n-2 (the wrap-around row's ratio is
+    neutralized to 1; identity (b') of plonkup.py excludes it via the
+    (x - w^{n-1}) factor):
+      num_i = (1+d)(e+f_i)(e(1+d) + t_i + d*t_{i+1})
+      den_i = (e(1+d) + h1_i + d*h1_{i+1})(e(1+d) + h2_i + d*h2_{i+1})
+    Returns (Z2 Lagrange values, closing value, monomial coeffs)."""
+    one = jnp.asarray(fr.ONE_MONT)[:, None]
+    d = delta[:, None]
+    e = epsilon[:, None]
+    od = fr.add(one, d)
+    ed = fr.mul(e, od)
+    sh = lambda p: jnp.roll(p, -1, axis=-1)  # noqa: E731
+    num = fr.mul(
+        fr.mul(od, fr.add(e, f)),
+        fr.add(fr.add(ed, t), fr.mul(d, sh(t))),
+    )
+    den = fr.mul(
+        fr.add(fr.add(ed, h1), fr.mul(d, sh(h1))),
+        fr.add(fr.add(ed, h2), fr.mul(d, sh(h2))),
+    )
+    mask = jnp.arange(n)[None, :] == n - 1
+    num = jnp.where(mask, one, num)
+    den = jnp.where(mask, one, den)
+    z2, z2_last = _prefix_product(num, den)
+    coeffs = _ntt_impl(z2, n, inverse=True)
+    return z2, z2_last, coeffs
+
+
+@functools.lru_cache(maxsize=None)
+def _z2_jit(n: int):
+    return jax.jit(functools.partial(_lookup_z2_kernel, n=n))
+
+
 def _round3_kernel(
     pre, polys, beta, gamma, alpha, offset, offset_n, offset_inv,
-    n: int, custom: bool = False, zblind=None,
+    n: int, custom: bool = False, zblind=None, lookup_scalars=None,
 ):
-    """polys: [16, 15(+1), n] = (a, b, c, pi, ql, qr, qm, qo, qc, z, zshift,
-    s1, s2, s3, l0[, qcube]).  Returns (t commitments, T lagrange stack,
-    big stack, xvals, quot values).
+    """polys: [16, 15(+1)(+11), n] = (a, b, c, pi, ql, qr, qm, qo, qc, z,
+    zshift, s1, s2, s3, l0[, qcube][, f, t, ts, h1, h1s, h2, h2s, z2, z2s,
+    qk, ln]).  Returns (t commitments, T lagrange stack, big stack, xvals,
+    quot values).
+
+    `lookup_scalars` (PlonKup mode): ([16] delta, [16] epsilon, [16]
+    t_last) Montgomery limbs; the stack then carries the 11 extra lookup
+    rows listed above ("s" = omega-shifted, ln = L_{n-1}).
 
     `zblind` (ZK mode): (dlo, dhi) coefficient deltas [16, P, 3] adding the
     Z_H-multiple blinding r(X)*(X^n - 1) to Z and Z(wX) post-iNTT — the
@@ -299,15 +392,28 @@ def _round3_kernel(
          jnp.zeros((NLIMBS, polys.shape[1], 4 * n - ncoef), dtype=jnp.uint32)],
         axis=2,
     )
-    bigs = _ntt_impl(padded, 4 * n, inverse=False)  # [16, 15, 4n]
+    bigs = _ntt_impl(padded, 4 * n, inverse=False)  # [16, 15(+…), 4n]
     (a, b, c, pi, ql, qr, qm, qo, qc, z, zs, s1, s2, s3, l0) = [
         bigs[:, i, :] for i in range(15)
     ]
     qcube = bigs[:, 15, :] if custom else None
+    lookup = None
+    if lookup_scalars is not None:
+        lk0 = 16 if custom else 15
+        names = ("f", "t", "ts", "h1", "h1s", "h2", "h2s", "z2", "z2s",
+                 "qk", "ln")
+        lookup = {nm: bigs[:, lk0 + i, :] for i, nm in enumerate(names)}
+        delta, epsilon, tlast = lookup_scalars
+        lookup.update(
+            delta=delta, epsilon=epsilon, tlast=tlast,
+            gl=jnp.asarray(
+                fr.to_mont_host(int(Fr.root_of_unity(n) ** (n - 1)))
+            ),
+        )
     xvals, zh_inv, _zh = _coset_x_impl(offset, offset_n, qroots, w4p)
     quot = _quotient_impl(
         a, b, c, pi, ql, qr, qm, qo, qc, z, zs, s1, s2, s3, l0,
-        xvals, zh_inv, beta, gamma, alpha, qcube=qcube,
+        xvals, zh_inv, beta, gamma, alpha, qcube=qcube, lookup=lookup,
     )
     qcoeffs = _coset_to_coeffs_impl(quot, offset_inv, 4 * n)  # [16, 4n]
     t_coeffs = qcoeffs[:, : 3 * n].reshape(NLIMBS, 3, n)
@@ -327,9 +433,16 @@ def _linearization_impl(
     a_ev, b_ev, c_ev, s1_ev, s2_ev, zw_ev,
     pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
     beta, gamma, alpha, zeta, zeta_w, v,
-    qcube=None, cube_ev=None,
+    qcube=None, cube_ev=None, lookup=None,
 ):
     """Elementwise round-5 core: (R, W_z, W_zw) values on the 4n coset.
+
+    `lookup` (PlonKup mode): dict with coset polys f/t/h1/h2/z2/qk, the
+    host-computed linearization scalars c_z2/c_h1/c_qk/c_const
+    (plonkup.linearization_scalars), and the eight extra opening evals.
+    R gains the three linearized commitment terms + the constant; W_z
+    batches (f, t, h1, h2) at v^6..v^9; W_zw becomes the RLC of
+    (z, t, h1, h2, z2) at v^0..v^4.
 
     Purely pointwise over the last axis, so it is layout-agnostic: the
     single-device prover feeds natural-order [16, 4n] arrays, the sharded
@@ -370,18 +483,38 @@ def _linearization_impl(
     one = jnp.asarray(fr.ONE_MONT)[:, None]
     start = fr.mul(fr.mul(fr.mul(alpha_, alpha_), S(l0_ev)), fr.sub(z, one))
     t_combined = fr.add(fr.add(t1, fr.mul(t2, S(zeta_n))), fr.mul(t3, S(zeta_2n)))
-    r_big = fr.sub(fr.add(gate, fr.add(perm, start)), fr.mul(S(zh_ev), t_combined))
+    r_core = fr.add(gate, fr.add(perm, start))
+    if lookup is not None:
+        lk = lookup
+        r_core = fr.add(r_core, fr.mul(S(lk["c_z2"]), lk["z2"]))
+        r_core = fr.add(r_core, fr.mul(S(lk["c_h1"]), lk["h1"]))
+        r_core = fr.add(r_core, fr.mul(S(lk["c_qk"]), lk["qk"]))
+        r_core = fr.add(r_core, S(lk["c_const"]))
+    r_big = fr.sub(r_core, fr.mul(S(zh_ev), t_combined))
 
     # W_z = (R + sum v^k (poly - eval)) / (X - zeta)
     acc = r_big
     vp = v
-    for poly, ev in ((a, a_ev), (b, b_ev), (c, c_ev), (s1, s1_ev), (s2, s2_ev)):
+    opened = [(a, a_ev), (b, b_ev), (c, c_ev), (s1, s1_ev), (s2, s2_ev)]
+    if lookup is not None:
+        opened += [
+            (lookup["f"], lookup["f_ev"]), (lookup["t"], lookup["t_ev"]),
+            (lookup["h1"], lookup["h1_ev"]), (lookup["h2"], lookup["h2_ev"]),
+        ]
+    for poly, ev in opened:
         acc = fr.add(acc, fr.mul(S(vp), fr.sub(poly, S(ev))))
         vp = fr.mul(vp, v)
     w_z = fr.mul(acc, fr.inv(fr.sub(xvals, S(zeta))))
-    w_zw = fr.mul(
-        fr.sub(z, S(zw_ev)), fr.inv(fr.sub(xvals, S(zeta_w)))
-    )
+    acc2 = fr.sub(z, S(zw_ev))
+    if lookup is not None:
+        vp = v
+        for poly, ev in (
+            (lookup["t"], lookup["t_w_ev"]), (lookup["h1"], lookup["h1_w_ev"]),
+            (lookup["h2"], lookup["h2_w_ev"]), (lookup["z2"], lookup["z2_w_ev"]),
+        ):
+            acc2 = fr.add(acc2, fr.mul(S(vp), fr.sub(poly, S(ev))))
+            vp = fr.mul(vp, v)
+    w_zw = fr.mul(acc2, fr.inv(fr.sub(xvals, S(zeta_w))))
     return r_big, w_z, w_zw
 
 
@@ -392,6 +525,7 @@ def _round5_kernel(
     beta, gamma, alpha, zeta, zeta_w, v,
     offset, offset_inv,
     n: int, custom: bool = False, cube_ev=None, blind: bool = False,
+    lookup_scal=None,
 ):
     # Expand T1..T3 to the coset (batched).
     tc = _ntt_impl(t_lagrange, n, inverse=True)
@@ -404,13 +538,26 @@ def _round5_kernel(
     t_big = _ntt_impl(padded, 4 * n, inverse=False)
     t1, t2, t3 = (t_big[:, i, :] for i in range(3))
 
+    lookup = None
+    if lookup_scal is not None:
+        lk0 = 16 if custom else 15
+        names = ("f", "t", "ts", "h1", "h1s", "h2", "h2s", "z2", "z2s",
+                 "qk", "ln")
+        lookup = {
+            nm: bigs[:, lk0 + i, :] for i, nm in enumerate(names)
+            if nm in ("f", "t", "h1", "h2", "z2", "qk")
+        }
+        scal_names = ("c_z2", "c_h1", "c_qk", "c_const", "f_ev", "t_ev",
+                      "h1_ev", "h2_ev", "t_w_ev", "h1_w_ev", "h2_w_ev",
+                      "z2_w_ev")
+        lookup.update(dict(zip(scal_names, lookup_scal)))
     r_big, w_z, w_zw = _linearization_impl(
         [bigs[:, i, :] for i in range(15)], t1, t2, t3, xvals,
         a_ev, b_ev, c_ev, s1_ev, s2_ev, zw_ev,
         pi_ev, l0_ev, zh_ev, zeta_n, zeta_2n,
         beta, gamma, alpha, zeta, zeta_w, v,
         qcube=bigs[:, 15, :] if custom else None,
-        cube_ev=cube_ev,
+        cube_ev=cube_ev, lookup=lookup,
     )
     w_z_coeffs = _coset_to_coeffs_impl(w_z, offset_inv, 4 * n)
     w_zw_coeffs = _coset_to_coeffs_impl(w_zw, offset_inv, 4 * n)
@@ -422,7 +569,9 @@ def _round5_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _round_jits(n: int, custom: bool = False, blind: bool = False):
+def _round_jits(
+    n: int, custom: bool = False, blind: bool = False, lookup: bool = False
+):
     """The five fused round kernels for group order n, vmapped over a
     leading batch axis.
 
@@ -430,6 +579,10 @@ def _round_jits(n: int, custom: bool = False, blind: bool = False):
     batch-parallel prover (parallel/batch.py) — round kernels are the
     heaviest XLA modules in the framework, so sharing the executables
     halves compile time and the persistent-cache footprint.
+
+    `lookup` (PlonKup): r3 takes (delta, epsilon, t_last) extra scalars and
+    the 11-row-extended stack; r5 takes the 12 lookup linearization/eval
+    scalars.  Mutually exclusive with `blind` (enforced by Program).
     """
     r1 = jax.vmap(
         lambda pre, abc: _round1_kernel(pre, abc, n), in_axes=(None, 0)
@@ -449,6 +602,15 @@ def _round_jits(n: int, custom: bool = False, blind: bool = False):
             ),
             in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0),
         )
+    elif lookup:
+        r3 = jax.vmap(
+            lambda pre, polys, beta, gamma, alpha, off, offn, offi, dl, ep, tl:
+            _round3_kernel(
+                pre, polys, beta, gamma, alpha, off, offn, offi, n, custom,
+                lookup_scalars=(dl, ep, tl),
+            ),
+            in_axes=(None,) + (0,) * 10,
+        )
     else:
         r3 = jax.vmap(
             lambda pre, polys, beta, gamma, alpha, off, offn, offi: _round3_kernel(
@@ -457,21 +619,19 @@ def _round_jits(n: int, custom: bool = False, blind: bool = False):
             in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
         )
     r4 = jax.vmap(lambda v, x: _round4_kernel(v, x, n), in_axes=(0, 0))
-    if custom:
-        r5 = jax.vmap(
-            lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
-                pre, bigs, t_lag, xv, *scal[:-1], n=n, custom=True,
-                cube_ev=scal[-1], blind=blind,
-            ),
-            in_axes=(None,) + (0,) * 23,
-        )
-    else:
-        r5 = jax.vmap(
-            lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
-                pre, bigs, t_lag, xv, *scal, n=n, blind=blind
-            ),
-            in_axes=(None,) + (0,) * 22,
-        )
+    # r5 scalar tail: 19 base args (a_ev..v, offset, offset_inv), then
+    # cube_ev (custom mode), then the 12 lookup scalars (lookup mode).
+    base = 19
+    ncube = 1 if custom else 0
+    nlk = 12 if lookup else 0
+    r5 = jax.vmap(
+        lambda pre, bigs, t_lag, xv, *scal: _round5_kernel(
+            pre, bigs, t_lag, xv, *scal[:base], n=n, custom=custom,
+            cube_ev=scal[base] if custom else None, blind=blind,
+            lookup_scal=scal[base + ncube:] if lookup else None,
+        ),
+        in_axes=(None,) + (0,) * (3 + base + ncube + nlk),
+    )
     return {
         "r1": jax.jit(r1),
         "r2": jax.jit(r2),
@@ -513,6 +673,7 @@ class Prover:
         self.timings = Timings()
         self._custom = program.has_custom_gates
         self._blind = getattr(program, "blinding_rows", 0) > 0
+        self._lookup = getattr(program, "has_lookups", False)
         if self._blind:
             # Z gains a Z_H-multiple of degree n+2 (see round_2), so its
             # commitment and the opening quotients need 3 extra SRS powers.
@@ -520,7 +681,9 @@ class Prover:
                 "ZK blinding requires an SRS with at least group_order + 3 "
                 "G1 powers"
             )
-        self._jits = _round_jits(self.group_order, self._custom, self._blind)
+        self._jits = _round_jits(
+            self.group_order, self._custom, self._blind, self._lookup
+        )
         # Static per-circuit device stacks.
         pk = self.pk
         self._qcube_vals = pk.QCUBE.values if self._custom else None
@@ -532,6 +695,20 @@ class Prover:
             axis=1,
         )
         self._s_stack = (pk.S1.values, pk.S2.values, pk.S3.values)
+        if self._lookup:
+            # PlonKup static tables: the lookup selector, the padded table
+            # polynomial, its values as host ints (for the sorted concat),
+            # the membership set, and the lookup-row -> variable map.
+            self._qk_vals = pk.QK.values
+            self._tbl_vals = pk.TBL.values
+            self._t_last = pk.t_last
+            self._tbl_ints = pk.TBL.to_ints()
+            self._tbl_set = set(self._tbl_ints)
+            self._lookup_rows = [
+                (i, c.wires.L)
+                for i, c in enumerate(program.constraints)
+                if c.coeffs.get("$lookup")
+            ]
         self._mesh_msm = None
 
     @property
@@ -593,6 +770,8 @@ class Prover:
         with self.timings.section("round_1"):
             msg_1 = self.round_1(witness)
         self.beta, self.gamma = transcript.round_1(msg_1)
+        if self._lookup:
+            self.delta, self.epsilon = transcript.delta, transcript.epsilon
 
         with self.timings.section("round_2"):
             msg_2 = self.round_2()
@@ -646,16 +825,57 @@ class Prover:
         self.A = Polynomial(abc[:, 0, :], Basis.LAGRANGE)
         self.B = Polynomial(abc[:, 1, :], Basis.LAGRANGE)
         self.C = Polynomial(abc[:, 2, :], Basis.LAGRANGE)
-        if self._mesh_on:
-            from .parallel.sharded import sharded_intt
+        if self._lookup:
+            # PlonKup query polynomial f and sorted-concat halves h1/h2
+            # (host construction: one O(n) pass + a table-ordered sort —
+            # proving-path MSMs/NTTs stay on device).
+            from .plonkup import sorted_by_table
 
-            coeffs = sharded_intt(
-                self.config.mesh, self.config.mesh_axis, abc
-            )
-            pts = coeffs[None]
+            t_last = int(self._t_last)
+            fvals = [t_last] * n
+            for row, var in self._lookup_rows:
+                val = int(witness[var]) % FR_MOD
+                if val not in self._tbl_set:
+                    raise ValueError(
+                        f"lookup witness {var}={val} not in the table"
+                    )
+                fvals[row] = val
+            s = sorted_by_table(fvals[: n - 1], self._tbl_ints)
+            fh = np.stack(
+                [
+                    fr.to_mont_host_many(fvals),
+                    fr.to_mont_host_many(s[:n]),
+                    fr.to_mont_host_many(s[n - 1 :]),
+                ],
+                axis=1,
+            )  # [16, 3, n]
+            stack6 = jnp.concatenate([abc, jnp.asarray(fh)], axis=1)
+            self.F = Polynomial(stack6[:, 3, :], Basis.LAGRANGE)
+            self.H1 = Polynomial(stack6[:, 4, :], Basis.LAGRANGE)
+            self.H2 = Polynomial(stack6[:, 5, :], Basis.LAGRANGE)
+            pts = self._jits["r1"](self._pre, stack6[None])
+            a_1, b_1, c_1, f_1, h1_1, h2_1 = self._commits(pts, 6)
+            if self.debug:
+                fv = self.F.to_ints()
+                qk = self.pk.QK.to_ints()
+                av = self.A.to_ints()
+                assert all(
+                    f == (a if q else t_last)
+                    for f, q, a in zip(fv, qk, av)
+                ), "query polynomial f malformed"
+            lk_extra = (f_1, h1_1, h2_1)
         else:
-            pts = self._jits["r1"](self._pre, abc[None])
-        a_1, b_1, c_1 = self._commits(pts, 3)
+            lk_extra = (None, None, None)
+            if self._mesh_on:
+                from .parallel.sharded import sharded_intt
+
+                coeffs = sharded_intt(
+                    self.config.mesh, self.config.mesh_axis, abc
+                )
+                pts = coeffs[None]
+            else:
+                pts = self._jits["r1"](self._pre, abc[None])
+            a_1, b_1, c_1 = self._commits(pts, 3)
 
         if self.debug:
             gate = (
@@ -669,7 +889,7 @@ class Prover:
             if self._custom:
                 gate = gate + self.A * self.A * self.A * self.pk.QCUBE
             assert gate == Polynomial.zeros(n), "gate constraints violated"
-        return Message1(a_1, b_1, c_1)
+        return Message1(a_1, b_1, c_1, *lk_extra)
 
     # -- round 2: permutation grand product ------------------------------
     def round_2(self) -> Message2:
@@ -712,6 +932,20 @@ class Prover:
             z_1 = self._commit_engine.commit_mont(ext)
         else:
             (z_1,) = self._commits(pts, 1)
+        if self._lookup:
+            n = self.group_order
+            z2, z2_last, z2c = _z2_jit(n)(
+                self.F.values, self._tbl_vals,
+                self.H1.values, self.H2.values,
+                self._s(self.delta)[0], self._s(self.epsilon)[0],
+            )
+            if self.debug:
+                assert fr.from_mont_host(np.asarray(z2_last)) == 1, (
+                    "lookup grand product does not close"
+                )
+            self.Z2 = Polynomial(z2, Basis.LAGRANGE)
+            z2_1 = self._commit_engine.commit_mont(z2c)
+            return Message2(z_1, z2_1)
         return Message2(z_1)
 
     def _round_2_sharded(self) -> Message2:
@@ -763,10 +997,32 @@ class Prover:
         ]
         if self._custom:
             stack.append(self._qcube_vals[:, None, :])
-        polys = jnp.concatenate(stack, axis=1)  # [16, 15(+1), n]
+        if self._lookup:
+            sh = lambda p: jnp.roll(p, -1, axis=-1)  # noqa: E731
+            ln = jnp.concatenate(
+                [
+                    jnp.zeros((NLIMBS, n - 1), dtype=jnp.uint32),
+                    jnp.asarray(fr.ONE_MONT)[:, None],
+                ],
+                axis=1,
+            )
+            lk_rows = [
+                self.F.values, self._tbl_vals, sh(self._tbl_vals),
+                self.H1.values, sh(self.H1.values),
+                self.H2.values, sh(self.H2.values),
+                self.Z2.values, sh(self.Z2.values),
+                self._qk_vals, ln,
+            ]
+            stack.append(jnp.stack(lk_rows, axis=1))
+        polys = jnp.concatenate(stack, axis=1)  # [16, 15(+1)(+11), n]
         if self.config.mesh is not None and self._mesh_shardable():
             return self._round_3_sharded(polys)
         extra = ()
+        if self._lookup:
+            extra = (
+                self._s(self.delta), self._s(self.epsilon),
+                self._s(self._t_last),
+            )
         if self._blind:
             # Coefficient deltas of r(X)*Z_H for Z (row 9) and, omega-scaled,
             # for Z(wX) (row 10); zero for every other stack entry.
@@ -820,10 +1076,11 @@ class Prover:
         Custom-gate circuits currently take the single-device round path
         (the sharded round-3/5 kernels are traced for the 15-poly stack),
         and so do ZK-blinded circuits (the sharded chain does not plumb the
-        Z_H-multiple coefficient deltas)."""
+        Z_H-multiple coefficient deltas) and PlonKup circuits (the 11-row
+        lookup stack extension is single-device only)."""
         from .parallel.sharded import _factor
 
-        if self._custom or self._blind:
+        if self._custom or self._blind or self._lookup:
             return False
         try:
             _factor(self.group_order, self.config.mesh.shape[self.config.mesh_axis])
@@ -871,17 +1128,24 @@ class Prover:
         n = self.group_order
         zeta = self.zeta
         root = Fr.root_of_unity(n)
-        values = jnp.stack(
-            [
-                self.A.values, self.B.values, self.C.values,
-                self._s_stack[0], self._s_stack[1],
-                self.Z.values,
-            ],
-            axis=1,
-        )
-        xs = jnp.stack(
-            [self._s(zeta)[0]] * 5 + [self._s(zeta * root)[0]], axis=1
-        )
+        rows = [
+            self.A.values, self.B.values, self.C.values,
+            self._s_stack[0], self._s_stack[1],
+            self.Z.values,
+        ]
+        zl, zwl = self._s(zeta)[0], self._s(zeta * root)[0]
+        points = [zl] * 5 + [zwl]
+        if self._lookup:
+            # f, t at zeta; t, h1, h2 at both; z2 at zeta*omega only
+            # (z2(zeta) and q_K(zeta) are linearized away in round 5).
+            rows += [
+                self.F.values, self._tbl_vals, self._tbl_vals,
+                self.H1.values, self.H1.values,
+                self.H2.values, self.H2.values, self.Z2.values,
+            ]
+            points += [zl, zl, zwl, zl, zwl, zl, zwl, zwl]
+        values = jnp.stack(rows, axis=1)
+        xs = jnp.stack(points, axis=1)
         if self._mesh_on:
             from .parallel.sharded import sharded_round4
 
@@ -901,7 +1165,11 @@ class Prover:
         (
             self.a_eval, self.b_eval, self.c_eval,
             self.s1_eval, self.s2_eval, self.z_shifted_eval,
-        ) = evals
+        ) = evals[:6]
+        if self._lookup:
+            keys = ("f", "t", "t_w", "h1", "h1_w", "h2", "h2_w", "z2_w")
+            self.lookup_evals = dict(zip(keys, evals[6:]))
+            return Message4(*evals[:6], lookup_evals=self.lookup_evals)
         return Message4(*evals)
 
     # -- round 5: linearization + opening proofs --------------------------
@@ -917,6 +1185,23 @@ class Prover:
         pi_ev = self.PI.barycentric_eval(zeta)
 
         extra = (self._s(self.a_eval**3),) if self._custom else ()
+        if self._lookup:
+            from .plonkup import linearization_scalars
+
+            e = dict(self.lookup_evals)
+            e["a"] = self.a_eval
+            c_z2, c_h1, c_qk, c_const = linearization_scalars(
+                n, self.alpha, zeta, self.delta, self.epsilon, e,
+                self._t_last, root,
+            )
+            extra = extra + tuple(
+                self._s(x)
+                for x in (
+                    c_z2, c_h1, c_qk, c_const,
+                    e["f"], e["t"], e["h1"], e["h2"],
+                    e["t_w"], e["h1_w"], e["h2_w"], e["z2_w"],
+                )
+            )
         pts, r_big, w_z_coeffs, w_zw_coeffs = self._jits["r5"](
             self._pre,
             self._bigs,

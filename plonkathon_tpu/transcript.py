@@ -20,11 +20,17 @@ class Message1:
     a_1: tuple  # [a(x)]_1 — commitment to the left wire polynomial
     b_1: tuple  # [b(x)]_1 — commitment to the right wire polynomial
     c_1: tuple  # [c(x)]_1 — commitment to the output wire polynomial
+    # PlonKup extension (None for vanilla circuits): query polynomial f and
+    # the sorted-concatenation halves h1/h2 (see plonkup.py).
+    f_1: tuple | None = None
+    h1_1: tuple | None = None
+    h2_1: tuple | None = None
 
 
 @dataclass
 class Message2:
     z_1: tuple  # [z(x)]_1 — commitment to the permutation grand product
+    z2_1: tuple | None = None  # [z2(x)]_1 — lookup grand product (PlonKup)
 
 
 @dataclass
@@ -42,6 +48,9 @@ class Message4:
     s1_eval: Fr         # S_sigma1(zeta)
     s2_eval: Fr         # S_sigma2(zeta)
     z_shifted_eval: Fr  # z(zeta * omega)
+    # PlonKup extension (None for vanilla circuits): openings of f, t, h1,
+    # h2 at zeta and of t, h1, h2, z2 at zeta*omega (plonkup.EVAL_ORDER).
+    lookup_evals: dict | None = None
 
 
 @dataclass
@@ -73,12 +82,25 @@ class Transcript(MerlinTranscript):
         self.append_point(b"a_1", message.a_1)
         self.append_point(b"b_1", message.b_1)
         self.append_point(b"c_1", message.c_1)
+        if message.f_1 is not None:
+            # PlonKup: absorb the lookup commitments BEFORE any challenge,
+            # then draw the dedicated lookup challenges delta/epsilon
+            # (stashed as attributes; vanilla circuits never reach this, so
+            # their challenge stream — and proof bit-identity — is intact).
+            self.append_point(b"f_1", message.f_1)
+            self.append_point(b"h1_1", message.h1_1)
+            self.append_point(b"h2_1", message.h2_1)
         beta = self.get_and_append_challenge(b"beta")
         gamma = self.get_and_append_challenge(b"gamma")
+        if message.f_1 is not None:
+            self.delta = self.get_and_append_challenge(b"delta")
+            self.epsilon = self.get_and_append_challenge(b"epsilon")
         return beta, gamma
 
     def round_2(self, message: Message2) -> tuple[Fr, Fr]:
         self.append_point(b"z_1", message.z_1)
+        if message.z2_1 is not None:
+            self.append_point(b"z2_1", message.z2_1)
         alpha = self.get_and_append_challenge(b"alpha")
         # Unpredictable coset shift for the 4n evaluation domain; keeps the
         # quotient division denominators nonzero.
@@ -98,6 +120,11 @@ class Transcript(MerlinTranscript):
         self.append_scalar(b"s1_eval", message.s1_eval)
         self.append_scalar(b"s2_eval", message.s2_eval)
         self.append_scalar(b"z_shifted_eval", message.z_shifted_eval)
+        if message.lookup_evals is not None:
+            from .plonkup import EVAL_ORDER
+
+            for k in EVAL_ORDER:
+                self.append_scalar(k.encode(), message.lookup_evals[k])
         return self.get_and_append_challenge(b"v")
 
     def round_5(self, message: Message5) -> Fr:

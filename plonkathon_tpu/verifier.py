@@ -36,6 +36,11 @@ class VerificationKey:
     # Optional custom cube-gate selector commitment (TurboPlonK extension);
     # None for vanilla circuits (8-commitment snarkjs-compatible layout).
     Qcube: tuple | None = None
+    # PlonKup lookup extension (plonkup.py): lookup-selector and table
+    # commitments plus the table's padding value; None for vanilla circuits.
+    Qk: tuple | None = None
+    Tbl: tuple | None = None
+    t_last: Fr | None = None
 
     # -- challenge replay -------------------------------------------------
     def compute_challenges(self, proof):
@@ -45,7 +50,28 @@ class VerificationKey:
         zeta = transcript.round_3(proof.msg_3)
         v = transcript.round_4(proof.msg_4)
         u = transcript.round_5(proof.msg_5)
+        # PlonKup challenges (drawn inside round_1 when lookups present).
+        self._delta = getattr(transcript, "delta", None)
+        self._epsilon = getattr(transcript, "epsilon", None)
         return beta, gamma, alpha, zeta, v, u
+
+    def _lookup_pieces(self, group_order: int, proof: dict, alpha, zeta, v):
+        """(c_z2, c_h1, c_qk, c_const, e) for PlonKup proofs, None else.
+
+        `e` is the extra-opening dict keyed as plonkup.EVAL_ORDER."""
+        if self.Qk is None:
+            return None
+        from .plonkup import EVAL_ORDER, linearization_scalars
+
+        e = {k: proof[f"lk_{k}_eval"] for k in EVAL_ORDER}
+        e["a"] = proof["a_eval"]
+        return (
+            *linearization_scalars(
+                group_order, alpha, zeta, self._delta, self._epsilon, e,
+                self.t_last, self.w,
+            ),
+            e,
+        )
 
     def _common_evals(self, group_order: int, zeta: Fr, public):
         zh_ev = zeta**group_order - 1
@@ -64,6 +90,14 @@ class VerificationKey:
         proof = pf.flatten()
         zh_ev, l0_ev, pi_ev = self._common_evals(group_order, zeta, public)
 
+        if self.Qk is not None and "f_1" not in proof:
+            return False  # lookup circuit, but the proof carries no argument
+        lk = (
+            self._lookup_pieces(group_order, proof, alpha, zeta, v)
+            if self.Qk is not None
+            else None
+        )
+
         a_ev, b_ev, c_ev = proof["a_eval"], proof["b_eval"], proof["c_eval"]
         s1_ev, s2_ev = proof["s1_eval"], proof["s2_eval"]
         zw_ev = proof["z_shifted_eval"]
@@ -78,10 +112,37 @@ class VerificationKey:
             * (c_ev + gamma)
             * zw_ev
         )
+        lk_terms = []
+        lk_open_z, lk_open_zw = [], []
+        ev_z = ev_zw = Fr(0)
+        if lk is not None:
+            c_z2, c_h1, c_qk, c_const, e = lk
+            r0 = r0 + c_const
+            lk_terms = [
+                (proof["z2_1"], c_z2),
+                (proof["h1_1"], c_h1),
+                (self.Qk, c_qk),
+            ]
+            # W_z batches (f, t, h1, h2) at v^6..v^9; W_zw is the RLC of
+            # (z, t, h1, h2, z2) at v^0..v^4 (weight u overall).
+            lk_open_z = [
+                (proof["f_1"], v**6), (self.Tbl, v**7),
+                (proof["h1_1"], v**8), (proof["h2_1"], v**9),
+            ]
+            ev_z = v**6 * e["f"] + v**7 * e["t"] + v**8 * e["h1"] + v**9 * e["h2"]
+            lk_open_zw = [
+                (self.Tbl, u * v), (proof["h1_1"], u * v**2),
+                (proof["h2_1"], u * v**3), (proof["z2_1"], u * v**4),
+            ]
+            ev_zw = (
+                v * e["t_w"] + v**2 * e["h1_w"] + v**3 * e["h2_w"]
+                + v**4 * e["z2_w"]
+            )
 
         # D = [R]_1 - r0*G + u*[z]_1
         d_pt = ec_lincomb(
             ([(self.Qcube, a_ev**3)] if self.Qcube is not None else [])
+            + lk_terms
             + [
                 (self.Qm, a_ev * b_ev),
                 (self.Ql, a_ev),
@@ -120,6 +181,8 @@ class VerificationKey:
                 (self.S1, v**4),
                 (self.S2, v**5),
             ]
+            + lk_open_z
+            + lk_open_zw
         )
         e_pt = ec_mul(
             G1,
@@ -129,7 +192,9 @@ class VerificationKey:
             + v**3 * c_ev
             + v**4 * s1_ev
             + v**5 * s2_ev
-            + u * zw_ev,
+            + u * zw_ev
+            + ev_z
+            + u * ev_zw,
         )
 
         # Combined KZG opening check at zeta and zeta*omega with one
@@ -160,6 +225,30 @@ class VerificationKey:
         proof = pf.flatten()
         zh_ev, l0_ev, pi_ev = self._common_evals(group_order, zeta, public)
 
+        if self.Qk is not None and "f_1" not in proof:
+            return False  # lookup circuit, but the proof carries no argument
+        lk = (
+            self._lookup_pieces(group_order, proof, alpha, zeta, v)
+            if self.Qk is not None
+            else None
+        )
+        lk_terms = []
+        lk_open_z = []
+        if lk is not None:
+            c_z2, c_h1, c_qk, c_const, e = lk
+            lk_terms = [
+                (proof["z2_1"], c_z2),
+                (proof["h1_1"], c_h1),
+                (self.Qk, c_qk),
+                (G1, c_const),
+            ]
+            lk_open_z = [
+                (proof["f_1"], v**6), (G1, -(v**6) * e["f"]),
+                (self.Tbl, v**7), (G1, -(v**7) * e["t"]),
+                (proof["h1_1"], v**8), (G1, -(v**8) * e["h1"]),
+                (proof["h2_1"], v**9), (G1, -(v**9) * e["h2"]),
+            ]
+
         a_ev, b_ev, c_ev = proof["a_eval"], proof["b_eval"], proof["c_eval"]
         s1_ev, s2_ev = proof["s1_eval"], proof["s2_eval"]
         zw_ev = proof["z_shifted_eval"]
@@ -167,6 +256,7 @@ class VerificationKey:
         # Reconstruct [R]_1 exactly as the prover linearized it.
         r_pt = ec_lincomb(
             ([(self.Qcube, a_ev**3)] if self.Qcube is not None else [])
+            + lk_terms
             + [
                 (self.Qm, a_ev * b_ev),
                 (self.Ql, a_ev),
@@ -205,7 +295,8 @@ class VerificationKey:
             ]
         )
 
-        # Check 1: R(zeta) = 0 and the openings of A, B, C, S1, S2 at zeta.
+        # Check 1: R(zeta) = 0 and the openings of A, B, C, S1, S2 (and, in
+        # PlonKup mode, f, t, h1, h2) at zeta.
         agg = ec_lincomb(
             [
                 (r_pt, 1),
@@ -220,16 +311,25 @@ class VerificationKey:
                 (self.S2, v**5),
                 (G1, -(v**5) * s2_ev),
             ]
+            + lk_open_z
         )
         if pairing(G2, agg) != pairing(
             pt_add(self.X_2, ec_mul(G2, -zeta)), proof["W_z_1"]
         ):
             return False  # opening check at zeta failed
 
-        # Check 2: the opening of Z at zeta*omega.
-        if pairing(
-            G2, ec_lincomb([(proof["z_1"], 1), (G1, -zw_ev)])
-        ) != pairing(
+        # Check 2: the opening of Z (and, in PlonKup mode, the v-RLC with
+        # t, h1, h2, Z2) at zeta*omega.
+        zw_terms = [(proof["z_1"], Fr(1)), (G1, -zw_ev)]
+        if lk is not None:
+            _, _, _, _, e = lk
+            zw_terms += [
+                (self.Tbl, v), (G1, -v * e["t_w"]),
+                (proof["h1_1"], v**2), (G1, -(v**2) * e["h1_w"]),
+                (proof["h2_1"], v**3), (G1, -(v**3) * e["h2_w"]),
+                (proof["z2_1"], v**4), (G1, -(v**4) * e["z2_w"]),
+            ]
+        if pairing(G2, ec_lincomb(zw_terms)) != pairing(
             pt_add(self.X_2, ec_mul(G2, -zeta * self.w)), proof["W_zw_1"]
         ):
             return False  # opening check at zeta*omega failed
