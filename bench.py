@@ -273,6 +273,33 @@ def section_proof(rep: Report, setup, pn, label):
     return dt
 
 
+def section_turbo(rep: Report, setup, pn):
+    """TurboPlonK custom gates + PlonKup lookups at 2^18 (BASELINE.json
+    config #4's extension workload, scaled to this chip's HBM)."""
+    from plonkathon_tpu.prover import Prover
+    from plonkathon_tpu.models.examples import (
+        turbo_lookup_program, turbo_lookup_witness,
+    )
+    from plonkathon_tpu.utils.profiling import Timings
+
+    rep.note(f"turbo+lookup proof n={pn}: building circuit")
+    program = turbo_lookup_program(pn - 8, pn)
+    prover = Prover(setup, program)
+    witness = turbo_lookup_witness(program)
+    rep.note(f"turbo+lookup proof n={pn}: compile+warm prove")
+    prover.prove(dict(witness))
+    prover.timings = Timings()
+    t0 = time.perf_counter()
+    prover.prove(dict(witness))
+    dt = time.perf_counter() - t0
+    rep.update(**{
+        f"proof_turbo_lookup_n{pn}_s": round(dt, 3),
+        f"proof_turbo_lookup_n{pn}_rounds_ms": {
+            k: round(v * 1e3, 1) for k, v in prover.timings.sections.items()
+        },
+    })
+
+
 def section_scaling(rep: Report):
     # NB: no persistent cache in the CPU subprocess — XLA:CPU AOT cache
     # entries crash on write AND load in this environment (see conftest).
@@ -408,6 +435,13 @@ def main():
             section_proof(rep, setup18, pn, "n262144")
     except Exception as exc:  # noqa: BLE001
         rep.update(proof18_error=repr(exc)[:300])
+
+    # ---- 5b. TurboPlonK + PlonKup extension proof ----------------------
+    try:
+        if platform == "tpu" and _left() > 400 and setup_big is not None:
+            section_turbo(rep, setup_big, 1 << 18)
+    except Exception as exc:  # noqa: BLE001
+        rep.update(turbo_error=repr(exc)[:300])
 
     # ---- 6. Virtual-mesh NTT scaling (CPU subprocess) ------------------
     try:

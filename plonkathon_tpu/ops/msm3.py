@@ -263,6 +263,14 @@ def build_affine_tables16(x, y):
     return pack_array(jnp.concatenate([fq.canon(ax), fq.canon(ay)], axis=0))
 
 
+def rows_from_packed(tabp):
+    """Packed window-major table [16, 16n] -> row layout [16n, 128].
+
+    One point per 128-lane row (16 packed u32 + 112 zero lanes); see the
+    row-layout branch in `_msm16_impl` for why."""
+    return jnp.pad(tabp.T, ((0, 0), (0, _LANES - PACKED_PT)))
+
+
 # ---------------------------------------------------------------------------
 # Wide run-scan (sorted keys -> per-run prefix emissions).
 # ---------------------------------------------------------------------------
@@ -432,8 +440,19 @@ def _msm16_impl(tabp, key, payload, S, C, T, T2, J):
     ksm = _step_major(skey, S, C)
     psm = _step_major(spay, S, C)
     sidx = psm >> 1
-    pts_sm = tabp[:, sidx.reshape(-1)].reshape(PACKED_PT, S, C)
-    pts_sm = pts_sm.transpose(1, 0, 2)  # cheap: metadata + small tiles
+    if tabp.ndim == 2 and tabp.shape[1] == _LANES:
+        # Row layout [16n, 128]: one point per padded 128-lane row.  The
+        # sublane-axis `take` of whole rows hits the TPU's row-DMA gather
+        # path (~45 ms for 2^22 rows vs ~120 ms for the same data through
+        # the element-wise lane-axis gather) at the cost of 8x HBM for the
+        # table; the minor [S*C,16] -> [S,16,C] transpose is ~3 ms.
+        rows = tabp[sidx.reshape(-1)]  # [S*C, 128]
+        pts_sm = (
+            rows[:, :PACKED_PT].reshape(S, C, PACKED_PT).transpose(0, 2, 1)
+        )
+    else:
+        pts_sm = tabp[:, sidx.reshape(-1)].reshape(PACKED_PT, S, C)
+        pts_sm = pts_sm.transpose(1, 0, 2)  # cheap: metadata + small tiles
     fresh = jnp.concatenate(
         [jnp.ones((1, C), jnp.bool_), ksm[1:] != ksm[:-1]], axis=0
     )

@@ -33,7 +33,7 @@ import numpy as np
 from .fields import Fr, FR_MOD
 from .frontend import Program, CommonPreprocessedInput
 from .kzg import Setup
-from .ops.limbs import fr, NLIMBS
+from .ops.limbs import fr, NLIMBS, encode_ints
 from .ops import ntt as _ntt
 from .ops.ntt import _ntt_impl, _coset_to_coeffs_impl
 from .ops.curve import _msm_kernel, _digits_impl, jac_to_affine_host
@@ -761,11 +761,14 @@ class Prover:
         witness = dict(witness)
         public_vars = self.program.get_public_assignments()
         n = self.group_order
-        self.PI = Polynomial(
-            [Fr(-witness[v]) for v in public_vars]
-            + [Fr(0) for _ in range(n - len(public_vars))],
-            Basis.LAGRANGE,
-        )
+        # Sparse build: only the public inputs are nonzero (converting a
+        # dense n-list costs ~0.5 s of host modmuls at n=2^18).
+        pi_arr = np.zeros((NLIMBS, n), dtype=np.uint32)
+        if public_vars:
+            pi_arr[:, : len(public_vars)] = fr.to_mont_host_many(
+                [(-int(witness[v])) % FR_MOD for v in public_vars]
+            )
+        self.PI = Polynomial(jnp.asarray(pi_arr), Basis.LAGRANGE)
 
         with self.timings.section("round_1"):
             msg_1 = self.round_1(witness)
@@ -813,15 +816,17 @@ class Prover:
         col = lambda sel, tail: (  # noqa: E731
             [int(witness[sel(w)]) % FR_MOD for w in wires] + pad + tail
         )
-        abc = np.stack(
+        # Raw limbs on the host (bytes-based encode), Montgomery conversion
+        # on device: the per-element host modmul cost ~1.5 s at n=2^18.
+        abc_raw = np.stack(
             [
-                fr.to_mont_host_many(col(lambda w: w.L, tails[0])),
-                fr.to_mont_host_many(col(lambda w: w.R, tails[1])),
-                fr.to_mont_host_many(col(lambda w: w.O, tails[2])),
+                encode_ints(col(lambda w: w.L, tails[0])),
+                encode_ints(col(lambda w: w.R, tails[1])),
+                encode_ints(col(lambda w: w.O, tails[2])),
             ],
             axis=1,
         )  # [16, 3, n]
-        abc = jnp.asarray(abc)
+        abc = fr.to_mont(jnp.asarray(abc_raw))
         self.A = Polynomial(abc[:, 0, :], Basis.LAGRANGE)
         self.B = Polynomial(abc[:, 1, :], Basis.LAGRANGE)
         self.C = Polynomial(abc[:, 2, :], Basis.LAGRANGE)
@@ -841,15 +846,16 @@ class Prover:
                     )
                 fvals[row] = val
             s = sorted_by_table(fvals[: n - 1], self._tbl_ints)
-            fh = np.stack(
+            fh_raw = np.stack(
                 [
-                    fr.to_mont_host_many(fvals),
-                    fr.to_mont_host_many(s[:n]),
-                    fr.to_mont_host_many(s[n - 1 :]),
+                    encode_ints(fvals),
+                    encode_ints(s[:n]),
+                    encode_ints(s[n - 1 :]),
                 ],
                 axis=1,
             )  # [16, 3, n]
-            stack6 = jnp.concatenate([abc, jnp.asarray(fh)], axis=1)
+            fh = fr.to_mont(jnp.asarray(fh_raw))
+            stack6 = jnp.concatenate([abc, fh], axis=1)
             self.F = Polynomial(stack6[:, 3, :], Basis.LAGRANGE)
             self.H1 = Polynomial(stack6[:, 4, :], Basis.LAGRANGE)
             self.H2 = Polynomial(stack6[:, 5, :], Basis.LAGRANGE)
