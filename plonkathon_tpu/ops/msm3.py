@@ -300,7 +300,13 @@ def _extract_sorted(ys, ksm, S, C, T):
     """Compact the valid run ends of a scan, sorted by key.
 
     ys: [S, 24, C] packed prefixes; ksm: [S, C] step-major keys.  Returns
-    (keys [T] ascending with _BIG tail, packed pts [24, T])."""
+    (keys [T] ascending with _BIG tail, packed pts [24, T]).
+
+    NB: a sort-free variant (cumsum compaction + 23-step vectorized binary
+    search over the chunk-major order, which is already key-ascending) was
+    tried and measured SLOWER on v5e — 193 ms vs 140 ms full-pipeline at
+    2^18: the dependent binary-search gather chain costs more than this
+    bitonic sort (the whole extract is 12.4 ms of the 140)."""
     ends = jnp.concatenate(
         [ksm[1:] != ksm[:-1], jnp.ones((1, C), jnp.bool_)], axis=0
     )

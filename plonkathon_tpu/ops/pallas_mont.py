@@ -107,6 +107,32 @@ def _mul_cols(a, b, ncols=2 * NLIMBS):
     return [zero if c is None else c for c in cols]
 
 
+def _sqr_cols(a, ncols=2 * NLIMBS):
+    """Column sums of a*a exploiting symmetry: the 120 off-diagonal limb
+    products appear twice (added twice, staying under the 2^22 column
+    budget: <= 32 16-bit contributions per column), so a squaring costs
+    136 u32 multiplies where `_mul_cols` costs 256."""
+    cols = [None] * ncols
+
+    def _acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(NLIMBS):
+        for j in range(i, NLIMBS):
+            if i + j >= ncols:
+                continue
+            pp = a[i] * a[j]
+            lo = pp & LIMB_MASK
+            hi = pp >> LIMB_BITS
+            reps = 1 if i == j else 2
+            for _ in range(reps):
+                _acc(i + j, lo)
+                if i + j + 1 < ncols:
+                    _acc(i + j + 1, hi)
+    zero = jnp.zeros_like(a[0])
+    return [zero if c is None else c for c in cols]
+
+
 def _const_limbs(vals, like):
     """Static int limb list -> broadcast kernel constants (u32)."""
     return [jnp.full_like(like, np.uint32(v)) for v in vals]
@@ -154,7 +180,14 @@ class _K:
         return total[NLIMBS:]
 
     def sqr(self, a):
-        return self.mul(a, a)
+        """Montgomery squaring; symmetric column sums (~19% fewer u32
+        multiplies than `mul(a, a)`), identical reduction."""
+        t = _sqr_cols(a)
+        tlo = _carry(t[:NLIMBS])
+        m = _carry(_mul_cols(tlo, _const_limbs(self.c["NPRIME"], a[0]), NLIMBS))
+        mp = _mul_cols(m, _const_limbs(self.c["P"], a[0]))
+        total = _carry([t[i] + mp[i] for i in range(2 * NLIMBS)])
+        return total[NLIMBS:]
 
     def add(self, a, b):
         s = _carry([a[i] + b[i] for i in range(NLIMBS)])
